@@ -1,0 +1,183 @@
+"""Initialization stack tests: relative pose, triangulation, PnP, SfM,
+visual-inertial alignment, extrinsic rotation calibration — all on the exact
+synthetic scene (the reference validates these only end-to-end; we test each
+piece against closed-form ground truth)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vins_tpu.core import lie
+from vins_tpu.imu.preintegration import ImuNoise, preintegrate
+from vins_tpu.init.alignment import solve_gyro_bias, visual_imu_alignment
+from vins_tpu.init.ex_rotation import ExRotBuffer, calibrate_ex_rotation, push_pair
+from vins_tpu.init.relative_pose import solve_relative_pose
+from vins_tpu.init.sfm import construct_sfm, pnp_gn, triangulate_multiview
+from vins_tpu.sim.window import build_window_problem
+
+DT = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def prob():
+    # 128 landmarks so even the widest-baseline pair (0 ↔ 10) keeps the
+    # ≥15-correspondence support the reference demands (solve_5pts.cpp:196)
+    return build_window_problem(frames=11, max_landmarks=128, dtype=DT)
+
+
+def cam_poses(prob):
+    """World←camera poses of every frame."""
+    st = prob.state_true
+    p_c = st.p + jax.vmap(lie.qrotate)(st.q, jnp.tile(st.tic[None], (st.p.shape[0], 1)))
+    q_c = jax.vmap(lambda q: lie.qmul(q, st.qic))(st.q)
+    return p_c, q_c
+
+
+def test_relative_pose_recovers_gt(prob):
+    p_c, q_c = cam_poses(prob)
+    i, j = 0, 10
+    valid = prob.obs.valid[:, i] & prob.obs.valid[:, j]
+    rel = solve_relative_pose(
+        prob.obs.pt[:, i], prob.obs.pt[:, j], valid, jax.random.PRNGKey(3)
+    )
+    assert bool(rel.ok)
+    # ground-truth relative pose of cam j in cam i
+    R_i = lie.q2R(q_c[i])
+    R_j = lie.q2R(q_c[j])
+    R_gt = R_i.T @ R_j
+    t_gt = R_i.T @ (p_c[j] - p_c[i])
+    t_gt = t_gt / jnp.linalg.norm(t_gt)
+    assert np.allclose(np.asarray(rel.R), np.asarray(R_gt), atol=1e-4)
+    assert np.allclose(np.asarray(rel.t), np.asarray(t_gt), atol=1e-4)
+
+
+def test_triangulate_multiview_exact(prob):
+    p_c, q_c = cam_poses(prob)
+    X, ok = triangulate_multiview(p_c, q_c, prob.obs.pt, prob.obs.valid)
+    m = np.asarray(ok & (jnp.sum(prob.obs.valid, 1) >= 2))
+    assert m.sum() > 20
+    err = np.linalg.norm(np.asarray(X - prob.points), axis=1)
+    assert err[m].max() < 1e-6
+
+
+def test_pnp_gn_converges(prob):
+    p_c, q_c = cam_poses(prob)
+    f = 5
+    w = prob.obs.valid[:, f].astype(DT)
+    # perturbed initial pose
+    p0 = p_c[f] + jnp.asarray([0.2, -0.15, 0.1], DT)
+    q0 = lie.qmul(q_c[f], lie.deltaQ(jnp.asarray([0.05, -0.04, 0.06], DT)))
+    p, q, ok = pnp_gn(prob.points, prob.obs.pt[:, f], w, p0, q0)
+    assert bool(ok)
+    assert np.linalg.norm(np.asarray(p - p_c[f])) < 1e-8
+    qe = lie.qmul(lie.qconj(q), q_c[f])
+    assert abs(float(qe[0])) > 1.0 - 1e-12
+
+
+def test_construct_sfm_matches_gt_up_to_scale(prob):
+    p_c, q_c = cam_poses(prob)
+    F = 11
+    l = 0
+    R_l = lie.q2R(q_c[l])
+    R_rel = R_l.T @ lie.q2R(q_c[F - 1])
+    t_rel_full = R_l.T @ (p_c[F - 1] - p_c[l])
+    s_true = float(jnp.linalg.norm(t_rel_full))
+    t_rel = t_rel_full / s_true
+
+    res = construct_sfm(prob.obs.pt, prob.obs.valid, jnp.asarray(l), R_rel, t_rel)
+    assert bool(res.ok)
+
+    # expected poses: frame l at identity, others = T_l⁻¹ T_f with unit-norm
+    # translation between l and F-1  ⇒ positions scaled by 1/s_true
+    for f in range(F):
+        R_gt = R_l.T @ lie.q2R(q_c[f])
+        p_gt = (R_l.T @ (p_c[f] - p_c[l])) / s_true
+        R_est = lie.q2R(res.q_wc[f])
+        assert np.allclose(np.asarray(R_est), np.asarray(R_gt), atol=2e-3), f
+        assert np.allclose(np.asarray(res.p_wc[f]), np.asarray(p_gt), atol=2e-3), f
+
+
+def test_gyro_bias_recovery(prob):
+    """Preintegrate at zero gyro bias while the data carries a true bias;
+    solve_gyro_bias must recover it (initial_aligment.cpp:3-37)."""
+    bg_true = jnp.asarray([0.002, 0.003, -0.001], DT)
+    # prob.pres were integrated AT the true biases; build fresh intervals
+    # linearized at zero bias instead:
+    from vins_tpu.sim.synthetic import Trajectory, generate_imu_interval
+
+    traj = Trajectory.figure8()
+    g = jnp.asarray([0.0, 0.0, 9.81], DT)
+    t0, fdt, hz = 1.0, 0.1, 200.0
+    n_max = int(round(fdt * hz)) + 2
+    ivs = [
+        generate_imu_interval(
+            traj, t0 + i * fdt, t0 + (i + 1) * fdt, hz, g, n_max,
+            ba=jnp.zeros(3, DT), bg=bg_true, dtype=DT,
+        )
+        for i in range(10)
+    ]
+    pres = jax.vmap(
+        lambda d, a, gy, m: preintegrate(d, a, gy, jnp.zeros(3, DT), jnp.zeros(3, DT), ImuNoise(), m)
+    )(*[jnp.stack([x[k] for x in ivs]) for k in range(4)])
+
+    times = t0 + jnp.arange(11, dtype=DT) * fdt
+    q_wb = jax.vmap(traj.q)(times).astype(DT)
+    dbg = solve_gyro_bias(q_wb, pres)
+    assert np.allclose(np.asarray(dbg), np.asarray(bg_true), atol=1e-4)
+
+
+def test_visual_imu_alignment(prob):
+    """Scaled, tic-offset camera positions + body rotations + preintegrations
+    → recover scale, gravity, and body velocities (initial_aligment.cpp:125-197)."""
+    st = prob.state_true
+    s_true = 2.7
+    p_c, _ = cam_poses(prob)
+    p_cam_sfm = p_c / s_true  # SfM positions are metric/s
+
+    res = visual_imu_alignment(st.q, p_cam_sfm, st.tic, prob.pres, g_norm=9.81)
+    assert bool(res.ok)
+    assert abs(float(res.scale) - s_true) < 1e-3 * s_true
+    g_err = np.linalg.norm(np.asarray(res.g_c0 - prob.gravity))
+    assert g_err < 1e-2
+    v_body_gt = jax.vmap(lambda q, v: lie.qrotate(lie.qconj(q), v))(st.q, st.v)
+    assert np.allclose(np.asarray(res.v_body), np.asarray(v_body_gt), atol=1e-2)
+
+
+def test_ex_rotation_calibration(prob):
+    """Feed synthetic camera/IMU pair rotations with strong excitation; the
+    SVD null vector recovers q_ic and the excitation gate (2nd-smallest
+    singular value > 0.25, initial_ex_rotation.cpp:52-66) opens."""
+    st = prob.state_true
+    q_ic_gt = st.qic
+    buf = ExRotBuffer.empty(64, DT)
+    key = jax.random.PRNGKey(7)
+    for k in range(12):
+        key, sub = jax.random.split(key)
+        ang = 0.4 * jax.random.normal(sub, (3,), DT)
+        q_imu = lie.qexp(ang)
+        # q_cam = q_ic⁻¹ ⊗ q_imu ⊗ q_ic
+        q_cam = lie.qmul(lie.qconj(q_ic_gt), lie.qmul(q_imu, q_ic_gt))
+        buf = push_pair(buf, q_cam, q_imu)
+        # solve after every pair like the estimator does — ric (and thus the
+        # Huber weights) improves unconditionally each call
+        q_ic, ok, buf = calibrate_ex_rotation(buf)
+    assert bool(ok)
+    qe = lie.qmul(lie.qconj(q_ic), q_ic_gt)
+    assert abs(float(qe[0])) > 1.0 - 1e-8
+
+    # gate stays closed under weak excitation (the real failure mode the
+    # threshold protects against)
+    st_q = st.q
+    p_c, q_c = cam_poses(prob)
+    buf2 = ExRotBuffer.empty(64, DT)
+    for k in range(10):
+        buf2 = push_pair(
+            buf2,
+            lie.qmul(lie.qconj(q_c[k]), q_c[k + 1]),
+            lie.qmul(lie.qconj(st_q[k]), st_q[k + 1]),
+        )
+    q2, ok2, _ = calibrate_ex_rotation(buf2)
+    assert not bool(ok2)
+    # ...but the estimate itself is still exact with perfect data
+    qe2 = lie.qmul(lie.qconj(q2), q_ic_gt)
+    assert abs(float(qe2[0])) > 1.0 - 1e-8

@@ -1,0 +1,161 @@
+"""Visual-inertial alignment: gyro bias, per-frame velocities, gravity, scale.
+
+TPU-native re-expression of vins_estimator/src/initial/initial_aligment.cpp:
+  * solve_gyro_bias       ← solveGyroscopeBias (:3-37)
+  * linear_alignment      ← LinearAlignment (:125-197)
+  * refine_gravity        ← RefineGravity (:55-123)
+  * visual_imu_alignment  ← VisualIMUAlignment (:199-207)
+
+All solves are fixed-shape batched linear algebra over the F window frames
+(the reference runs them over every frame in `all_image_frame`; we run them
+over the window keyframes — same equations).  Velocities are solved in each
+frame's *body* frame, matching the reference's unknown layout; the caller
+rotates them to world (estimator.cpp:421-423).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..imu.preintegration import Preintegration
+
+
+def solve_gyro_bias(
+    q_wb: jax.Array,  # [F,4] body orientations from SfM (camera-derived)
+    pres: Preintegration,  # batched [F-1]
+) -> jax.Array:
+    """Least-squares gyro bias from SfM-vs-preintegration rotation mismatch
+    (initial_aligment.cpp:3-37).  Returns dbg [3]; caller repropagates."""
+    q_ij = jax.vmap(lambda qi, qj: lie.qmul(lie.qconj(qi), qj))(q_wb[:-1], q_wb[1:])
+    # J = ∂(2·vec δq)/∂bg from the preintegration Jacobian block
+    J = pres.J[:, 3:6, 12:15]  # [F-1,3,3]
+    err = jax.vmap(lambda dq, qij: 2.0 * lie.qmul(lie.qconj(dq), qij)[1:4])(
+        pres.dq, q_ij
+    )
+    A = jnp.einsum("kij,kil->jl", J, J)
+    b = jnp.einsum("kij,ki->j", J, err)
+    return jnp.linalg.solve(A + 1e-10 * jnp.eye(3, dtype=A.dtype), b)
+
+
+class AlignResult(NamedTuple):
+    v_body: jax.Array  # [F,3] per-frame velocity in body frame
+    g_c0: jax.Array  # [3] gravity in the SfM reference (c0) frame
+    scale: jax.Array  # [] metric scale
+    ok: jax.Array  # [] bool
+
+
+def _build_lin_system(
+    R_wb: jax.Array,  # [F,3,3] body rotations in SfM frame (up to scale)
+    p_cam: jax.Array,  # [F,3] CAMERA positions in SfM frame (unscaled)
+    tic: jax.Array,  # [3]
+    pres: Preintegration,
+):
+    """Stack the per-pair 6×10 blocks of LinearAlignment (:135-160) into a
+    dense [6(F-1), 3F+4] system.  Unknowns: [v_0..v_{F-1} body, g_c0, s/100]."""
+    F = R_wb.shape[0]
+    dt = pres.dt_sum  # [F-1]
+    dtype = p_cam.dtype
+    Ri_T = jnp.swapaxes(R_wb[:-1], -1, -2)  # [F-1,3,3]
+    Rj = R_wb[1:]
+    I3 = jnp.eye(3, dtype=dtype)
+
+    # rows 0:3 (position): -dt·v_i + Riᵀ·dt²/2·g + Riᵀ(p_j-p_i)/100·s
+    #   = dp + RiᵀRj·tic - tic
+    A_vi_p = -dt[:, None, None] * I3[None]
+    A_g_p = Ri_T * (0.5 * dt**2)[:, None, None]
+    A_s_p = jnp.einsum("kij,kj->ki", Ri_T, p_cam[1:] - p_cam[:-1])[..., None] / 100.0
+    b_p = pres.dp + jnp.einsum("kij,j->ki", Ri_T @ Rj, tic) - tic[None]
+
+    # rows 3:6 (velocity): -v_i + (RiᵀRj)·v_j + Riᵀ·dt·g = dv
+    A_vi_v = -jnp.broadcast_to(I3, Ri_T.shape)
+    A_vj_v = Ri_T @ Rj
+    A_g_v = Ri_T * dt[:, None, None]
+    b_v = pres.dv
+
+    K = F - 1
+    A = jnp.zeros((6 * K, 3 * F + 4), dtype)
+    b = jnp.zeros((6 * K,), dtype)
+    for k in range(K):  # static unroll, K = window size
+        r = 6 * k
+        A = A.at[r : r + 3, 3 * k : 3 * k + 3].set(A_vi_p[k])
+        A = A.at[r : r + 3, 3 * F : 3 * F + 3].set(A_g_p[k])
+        A = A.at[r : r + 3, 3 * F + 3 :].set(A_s_p[k])
+        b = b.at[r : r + 3].set(b_p[k])
+        A = A.at[r + 3 : r + 6, 3 * k : 3 * k + 3].set(A_vi_v[k])
+        A = A.at[r + 3 : r + 6, 3 * k + 3 : 3 * k + 6].set(A_vj_v[k])
+        A = A.at[r + 3 : r + 6, 3 * F : 3 * F + 3].set(A_g_v[k])
+        b = b.at[r + 3 : r + 6].set(b_v[k])
+    return A, b
+
+
+def linear_alignment(
+    R_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
+    g_norm: float = 9.81007,
+) -> AlignResult:
+    """LinearAlignment (:125-197): solve velocities, gravity, scale; accept
+    when |g| is near g_norm and s > 0.  (The reference's ×1000 row scaling is
+    a float conditioning aid; we solve in float64.)"""
+    F = R_wb.shape[0]
+    A, b = _build_lin_system(R_wb, p_cam, tic, pres)
+    H = A.T @ A
+    x = jnp.linalg.solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype), A.T @ b)
+    s = x[-1] / 100.0
+    g = x[3 * F : 3 * F + 3]
+    ok = (jnp.abs(jnp.linalg.norm(g) - g_norm) < 1.0) & (s > 0)
+    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s, ok=ok)
+
+
+def refine_gravity(
+    R_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
+    g0: jax.Array, g_norm: float = 9.81007, iters: int = 4,
+) -> AlignResult:
+    """RefineGravity (:55-123): re-parameterize g = ĝ·g_norm + B(ĝ)·dg on the
+    2-dim tangent of the gravity sphere; 4 fixed re-linearizations."""
+    F = R_wb.shape[0]
+    dtype = p_cam.dtype
+    A, b = _build_lin_system(R_wb, p_cam, tic, pres)
+    cols_v = A[:, : 3 * F]
+    cols_g = A[:, 3 * F : 3 * F + 3]
+    cols_s = A[:, 3 * F + 3 :]
+
+    def tangent_basis(g):
+        a = g / jnp.linalg.norm(g)
+        tmp = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        tmp = jnp.where(jnp.abs(a[2]) > 0.999, jnp.asarray([1.0, 0.0, 0.0], dtype), tmp)
+        b1 = tmp - a * jnp.dot(a, tmp)
+        b1 = b1 / jnp.linalg.norm(b1)
+        b2 = jnp.cross(a, b1)
+        return jnp.stack([b1, b2], axis=1)  # [3,2]
+
+    def step(g, _):
+        Bg = tangent_basis(g)
+        A2 = jnp.concatenate([cols_v, cols_g @ Bg, cols_s], axis=1)
+        b2 = b - cols_g @ (g / jnp.linalg.norm(g) * g_norm)
+        H = A2.T @ A2
+        x = jnp.linalg.solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=dtype), A2.T @ b2)
+        dg = x[3 * F : 3 * F + 2]
+        g_new = g / jnp.linalg.norm(g) * g_norm + Bg @ dg
+        return g_new, x
+
+    g, xs = jax.lax.scan(step, g0, None, length=iters)
+    x = jax.tree.map(lambda a: a[-1], xs)
+    s = x[-1] / 100.0
+    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s, ok=s > 0)
+
+
+def visual_imu_alignment(
+    q_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
+    g_norm: float = 9.81007,
+):
+    """VisualIMUAlignment minus the repropagation step (:199-207): the caller
+    must repropagate preintegrations at the returned gyro bias *before*
+    calling this with them — mirroring the reference control flow, this
+    function only chains the linear + refinement solves."""
+    R_wb = jax.vmap(lie.q2R)(q_wb)
+    lin = linear_alignment(R_wb, p_cam, tic, pres, g_norm)
+    ref = refine_gravity(R_wb, p_cam, tic, pres, lin.g_c0, g_norm)
+    return AlignResult(v_body=ref.v_body, g_c0=ref.g_c0, scale=ref.scale,
+                       ok=lin.ok & ref.ok)
