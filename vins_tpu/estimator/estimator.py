@@ -1,0 +1,329 @@
+"""Sliding-window visual-inertial estimator — the host state machine.
+
+TPU-native re-expression of the reference's `Estimator` class
+(vins_estimator/src/estimator.{h,cpp}): INITIAL → NON_LINEAR state machine
+over a window of F = WINDOW_SIZE+1 frames.  All heavy math runs in two jitted
+device programs (the init pipeline and the fused per-frame `vio_step`); this
+class only manages buffers, the feature DB, sliding, and failure recovery.
+
+Wire protocol mirrors the reference nodes:
+  * `process_imu(dt, acc, gyr)`   ← Estimator::processIMU (estimator.cpp:84-118)
+  * `process_image(ids, pts, vels, uvs, t)` ← processImage (:120-217)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VinsConfig
+from ..core import lie
+from ..imu.preintegration import ImuNoise
+from ..init.ex_rotation import ExRotBuffer, calibrate_ex_rotation, push_pair
+from ..init.relative_pose import solve_relative_pose
+from ..solver.gn import SolverOptions
+from ..solver.problem import Layout, Prior, WindowState
+from .feature_db import FeatureDB
+from .initializer import Initializer
+from .step import make_vio_step
+
+INITIAL = 0
+NON_LINEAR = 1
+
+
+class Estimator:
+    def __init__(self, cfg: VinsConfig, imu_buf_len: int = 256, dtype=jnp.float64):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.F = cfg.frames
+        self.W = cfg.window
+        self.L = cfg.max_landmarks
+        self.N = imu_buf_len
+        self.layout = Layout(self.F)
+        self.noise = ImuNoise(cfg.acc_n, cfg.gyr_n, cfg.acc_w, cfg.gyr_w)
+        self.opts = SolverOptions(iters=cfg.max_num_iterations, focal=cfg.focal)
+        self.gravity = jnp.asarray([0.0, 0.0, cfg.g_norm], dtype)
+
+        self.db = FeatureDB(self.L, self.F)
+        self.db._min_parallax = cfg.min_parallax
+
+        self.estimate_extrinsic = cfg.estimate_extrinsic
+        self._vio_step = make_vio_step(
+            self.layout, self.noise, self.opts,
+            estimate_extrinsic=cfg.estimate_extrinsic >= 1,
+            estimate_td=cfg.estimate_td,
+        )
+        self.initializer = Initializer(self.noise, cfg.g_norm, cfg.focal, dtype)
+
+        # extrinsics (body←camera)
+        self.qic = np.asarray(lie.R2q(jnp.asarray(cfg.extrinsic_R, dtype)))
+        self.tic = np.asarray(cfg.extrinsic_t, float)
+        self.ex_calib_done = cfg.estimate_extrinsic != 2
+        self._ex_buf = ExRotBuffer.empty(64, dtype)
+
+        self.clear_state()
+
+    # ------------------------------------------------------------------ state
+
+    def clear_state(self):
+        """Full reboot (Estimator::clearState, estimator.cpp:22-82)."""
+        F, W, N = self.F, self.W, self.N
+        self.frame_count = 0
+        self.solver_flag = INITIAL
+        self.initial_timestamp = -1e18
+        self.first_imu = False
+        self.failures = getattr(self, "failures", 0)
+
+        self.p = np.zeros((F, 3))
+        self.q = np.tile(np.array([1.0, 0, 0, 0]), (F, 1))
+        self.v = np.zeros((F, 3))
+        self.ba = np.zeros((F, 3))
+        self.bg = np.zeros((F, 3))
+        self.td = float(self.cfg.td)
+        self.timestamps = np.zeros(F)
+
+        # raw IMU per interval k = (frame k, frame k+1): boundary-sample layout
+        self.imu_dt = np.zeros((W, N))
+        self.imu_acc = np.zeros((W, N + 1, 3))
+        self.imu_gyr = np.zeros((W, N + 1, 3))
+        self.imu_n = np.zeros(W, np.int64)
+
+        self.acc_prev = np.zeros(3)
+        self.gyr_prev = np.zeros(3)
+
+        self.prior = Prior.empty(self.layout, self.dtype)
+        self.db.clear()
+
+        self.last_p = np.zeros(3)
+        self.last_cost = 0.0
+
+    # -------------------------------------------------------------------- IMU
+
+    def process_imu(self, dt: float, acc, gyr):
+        """Buffer one IMU sample into the open interval + midpoint-propagate
+        the newest frame state (estimator.cpp:84-118)."""
+        acc = np.asarray(acc, float)
+        gyr = np.asarray(gyr, float)
+        if not self.first_imu:
+            self.first_imu = True
+            self.acc_prev, self.gyr_prev = acc, gyr
+
+        j = min(self.frame_count, self.W)
+        if self.frame_count != 0:
+            k = j - 1
+            n = self.imu_n[k]
+            if n == 0:
+                # interval opens with the previous boundary sample
+                self.imu_acc[k, 0] = self.acc_prev
+                self.imu_gyr[k, 0] = self.gyr_prev
+            if n < self.N:
+                self.imu_dt[k, n] = dt
+                self.imu_acc[k, n + 1] = acc
+                self.imu_gyr[k, n + 1] = gyr
+                self.imu_n[k] = n + 1
+
+            # midpoint propagation of the newest state (same math as the
+            # preintegration step, world frame, g = +z·9.81 specific-force
+            # convention: a_w = R(a_m − ba) − g)
+            Rj = np.asarray(lie.q2R(jnp.asarray(self.q[j])))
+            g = np.array([0.0, 0.0, self.cfg.g_norm])
+            un_acc_0 = Rj @ (self.acc_prev - self.ba[j]) - g
+            un_gyr = 0.5 * (self.gyr_prev + gyr) - self.bg[j]
+            qj = np.asarray(lie.qmul(jnp.asarray(self.q[j]), lie.deltaQ(jnp.asarray(un_gyr * dt))))
+            qj = qj / np.linalg.norm(qj)
+            Rj1 = np.asarray(lie.q2R(jnp.asarray(qj)))
+            un_acc_1 = Rj1 @ (acc - self.ba[j]) - g
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            self.q[j] = qj
+            self.p[j] = self.p[j] + dt * self.v[j] + 0.5 * dt * dt * un_acc
+            self.v[j] = self.v[j] + dt * un_acc
+
+        self.acc_prev, self.gyr_prev = acc, gyr
+
+    # ------------------------------------------------------------------ image
+
+    def process_image(self, ids, pts, vels, uvs, t: float, toffs=0.0) -> dict:
+        """One feature frame (estimator.cpp:120-217).  Returns a diagnostics
+        dict with at least {"kind": ...}."""
+        col = min(self.frame_count, self.W)
+        marg_old = self.db.add_frame(ids, pts, vels, uvs, toffs, col)
+        self.timestamps[col] = t
+
+        if self.estimate_extrinsic == 2 and self.frame_count != 0:
+            self._calibrate_extrinsic(col)
+
+        if self.solver_flag == INITIAL:
+            if self.frame_count == self.W:
+                ok = False
+                info = {}
+                if self.estimate_extrinsic != 2 and t - self.initial_timestamp > 0.1:
+                    ok = self._try_initialize()
+                    self.initial_timestamp = t
+                if ok:
+                    self.solver_flag = NON_LINEAR
+                    out = self._solve_and_slide(marg_old, failure_check=False)
+                    out["kind"] = "initialized"
+                    return out
+                self._slide(marg_old)
+                return {"kind": "init_pending"}
+            # window still filling: next frame starts from this one's state
+            self.frame_count += 1
+            c = self.frame_count
+            self.p[c] = self.p[c - 1]
+            self.q[c] = self.q[c - 1]
+            self.v[c] = self.v[c - 1]
+            self.ba[c] = self.ba[c - 1]
+            self.bg[c] = self.bg[c - 1]
+            return {"kind": "filling", "frame_count": self.frame_count}
+
+        out = self._solve_and_slide(marg_old, failure_check=True)
+        out["kind"] = "vio" if out.get("ok", True) else "reboot"
+        return out
+
+    # --------------------------------------------------------------- internals
+
+    def _window_state(self) -> WindowState:
+        dt = self.dtype
+        return WindowState(
+            p=jnp.asarray(self.p, dt), q=jnp.asarray(self.q, dt),
+            v=jnp.asarray(self.v, dt), ba=jnp.asarray(self.ba, dt),
+            bg=jnp.asarray(self.bg, dt),
+            tic=jnp.asarray(self.tic, dt), qic=jnp.asarray(self.qic, dt),
+            td=jnp.asarray(self.td, dt),
+        )
+
+    def _adopt_state(self, s: WindowState):
+        # np.array (not asarray): device arrays view as read-only buffers
+        self.p = np.array(s.p)
+        self.q = np.array(s.q)
+        self.v = np.array(s.v)
+        self.ba = np.array(s.ba)
+        self.bg = np.array(s.bg)
+        self.tic = np.array(s.tic)
+        self.qic = np.array(s.qic)
+        self.td = float(s.td)
+
+    def _imu_mask(self):
+        return np.arange(self.N)[None, :] < self.imu_n[:, None]
+
+    def _solve_and_slide(self, marg_old: bool, failure_check: bool) -> dict:
+        dt = self.dtype
+        obs = self.db.to_obs(dt)
+        needs_tri = jnp.asarray((self.db.inv_depth < 0) & self.db.active_mask())
+        res = self._vio_step(
+            self._window_state(),
+            jnp.asarray(self.imu_dt, dt), jnp.asarray(self.imu_acc, dt),
+            jnp.asarray(self.imu_gyr, dt), jnp.asarray(self._imu_mask()),
+            obs, needs_tri, self.prior, self.gravity,
+            jnp.asarray(bool(marg_old)), jnp.asarray(self.last_p, dt),
+        )
+
+        if failure_check:
+            few_feats = self.db.count_tracked(self.F - 1) < 2
+            if bool(res.fail_imu) or bool(res.fail_jump) or few_feats:
+                self.failures += 1
+                self.clear_state()
+                return {"ok": False, "reason": "failure detection"}
+
+        self._adopt_state(res.state)
+        self.prior = res.prior
+        self.db.remove_failures(np.asarray(res.inv_depth))
+        self.last_cost = float(res.cost)
+        self._slide(marg_old)
+        self.last_p = self.p[self.W].copy()
+        return {"ok": True, "marg_old": bool(marg_old), "cost": self.last_cost}
+
+    def _slide(self, marg_old: bool):
+        """slideWindow (estimator.cpp:1005-1126) on the host buffers.  The
+        marginalization prior itself was already produced in the device step
+        (or is still invalid during INITIAL)."""
+        F, W = self.F, self.W
+        if marg_old:
+            # re-anchor depths using pre-slide camera poses of frames 0,1
+            R0 = np.asarray(lie.q2R(jnp.asarray(self.q[0])))
+            R1 = np.asarray(lie.q2R(jnp.asarray(self.q[1])))
+            Ric = np.asarray(lie.q2R(jnp.asarray(self.qic)))
+            p_c0 = self.p[0] + R0 @ self.tic
+            p_c1 = self.p[1] + R1 @ self.tic
+            self.db.slide_old(p_c0, R0 @ Ric, p_c1, R1 @ Ric)
+
+            for a in (self.p, self.q, self.v, self.ba, self.bg, self.timestamps):
+                a[:-1] = a[1:]
+            # newest slot keeps its value (reference swap leaves
+            # Ps[W] == old Ps[W]; propagation continues from it)
+            self.imu_dt[:-1] = self.imu_dt[1:]
+            self.imu_acc[:-1] = self.imu_acc[1:]
+            self.imu_gyr[:-1] = self.imu_gyr[1:]
+            self.imu_n[:-1] = self.imu_n[1:]
+            self._reset_interval(W - 1)
+        else:
+            # merge newest interval into the previous one (:1070-1097)
+            self.db.slide_new()
+            k_dst, k_src = W - 2, W - 1
+            n0, n1 = int(self.imu_n[k_dst]), int(self.imu_n[k_src])
+            take = min(n1, self.N - n0)
+            if take > 0:
+                self.imu_dt[k_dst, n0 : n0 + take] = self.imu_dt[k_src, :take]
+                self.imu_acc[k_dst, n0 + 1 : n0 + take + 1] = self.imu_acc[k_src, 1 : take + 1]
+                self.imu_gyr[k_dst, n0 + 1 : n0 + take + 1] = self.imu_gyr[k_src, 1 : take + 1]
+                self.imu_n[k_dst] = n0 + take
+            self._reset_interval(k_src)
+            for a in (self.p, self.q, self.v, self.ba, self.bg, self.timestamps):
+                a[F - 2] = a[F - 1]
+
+    def _reset_interval(self, k: int):
+        self.imu_n[k] = 0
+        self.imu_dt[k] = 0
+        self.imu_acc[k] = 0
+        self.imu_gyr[k] = 0
+
+    def _try_initialize(self) -> bool:
+        res = self.initializer.try_initialize(
+            self.db, self.imu_dt, self.imu_acc, self.imu_gyr, self.imu_n,
+            self.qic, self.tic,
+        )
+        self.last_init = res
+        if not res.ok:
+            return False
+        self.p = res.p.copy()
+        self.q = res.q.copy()
+        self.v = res.v.copy()
+        self.ba = np.zeros((self.F, 3))
+        self.bg = np.tile(res.bg[None], (self.F, 1))
+        # depths are invalid across the rescale — re-triangulated in the step
+        self.db.inv_depth[:] = -1.0
+        self.last_p = self.p[self.W].copy()
+        return True
+
+    def _calibrate_extrinsic(self, col: int):
+        """ESTIMATE_EXTRINSIC == 2 path (estimator.cpp:140-156): feed the
+        camera/IMU pair rotations of (col-1, col) and accept once excited."""
+        both = self.db.used & self.db.valid[:, col - 1] & self.db.valid[:, col]
+        if both.sum() < 9:
+            return
+        # camera rotation from the essential solve between the two frames
+        key = jax.random.PRNGKey(self.frame_count)
+        rel = solve_relative_pose(
+            jnp.asarray(self.db.pt[:, col - 1], self.dtype),
+            jnp.asarray(self.db.pt[:, col], self.dtype),
+            jnp.asarray(both), key, min_corres=9, min_inliers=8,
+        )
+        if not bool(rel.ok):
+            return
+        q_cam = lie.R2q(jnp.asarray(rel.R, self.dtype))
+        # IMU rotation over the interval at current gyro bias: gyro-only
+        k = min(col, self.W) - 1
+        n = int(self.imu_n[k])
+        if n == 0:
+            return
+        q_imu = jnp.asarray([1.0, 0, 0, 0], self.dtype)
+        for i in range(n):
+            w = 0.5 * (self.imu_gyr[k, i] + self.imu_gyr[k, i + 1]) - self.bg[col]
+            q_imu = lie.qmul(q_imu, lie.deltaQ(jnp.asarray(w * self.imu_dt[k, i], self.dtype)))
+        self._ex_buf = push_pair(self._ex_buf, q_cam, lie.qnormalize(q_imu))
+        q_ic, ok, self._ex_buf = calibrate_ex_rotation(self._ex_buf)
+        if bool(ok):
+            self.qic = np.asarray(q_ic)
+            self.estimate_extrinsic = 1

@@ -24,6 +24,10 @@ class WindowProblem(NamedTuple):
     gravity: jax.Array
     times: jax.Array
     points: jax.Array
+    raw_dt: jax.Array  # [F-1, N] raw IMU buffers (for step-level consumers)
+    raw_acc: jax.Array  # [F-1, N+1, 3]
+    raw_gyr: jax.Array  # [F-1, N+1, 3]
+    raw_mask: jax.Array  # [F-1, N]
 
 
 def build_window_problem(
@@ -119,7 +123,8 @@ def build_window_problem(
     pres = jax.vmap(lambda d, a, g, m: preintegrate(d, a, g, ba, bg, noise, m))(
         dts, accs, gyrs, masks
     )
-    return WindowProblem(state, obs, pres, gravity, times, points)
+    return WindowProblem(state, obs, pres, gravity, times, points,
+                         raw_dt=dts, raw_acc=accs, raw_gyr=gyrs, raw_mask=masks)
 
 
 def perturb_state(state: WindowState, key, pos_sigma=0.05, rot_sigma=0.02,

@@ -29,6 +29,13 @@ from .factors import densify_imu, densify_projection, imu_blocks, projection_blo
 from .problem import FeatureObs, Layout, Prior, WindowState, prior_residual, state_boxplus
 
 
+def _psum(x, axis_name):
+    """Cross-shard reduction when the landmark axis is sharded over a mesh
+    axis (distributed Schur: per-shard JᵀJ contributions are psum-reduced
+    into the replicated camera system); identity when running single-shard."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
 class SolverOptions(NamedTuple):
     iters: int = 8
     mu_init: float = 1e-4
@@ -55,12 +62,13 @@ def _cauchy_weights(r: jax.Array, valid: jax.Array):
 def compute_cost(
     state: WindowState, lam: jax.Array, obs: FeatureObs, pres: Preintegration,
     prior: Prior, gravity: jax.Array, layout: Layout, opts: SolverOptions,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Total robustified cost at a state (for LM accept/reject)."""
     obs = obs._replace(inv_depth=lam)
     proj = projection_blocks_residual_only(state, obs, opts.focal)
     s = jnp.sum(proj.r * proj.r, axis=-1)
-    cost_p = jnp.sum(jnp.where(proj.valid, jnp.log1p(s), 0.0))
+    cost_p = _psum(jnp.sum(jnp.where(proj.valid, jnp.log1p(s), 0.0)), axis_name)
     imu = imu_blocks(state, pres, gravity, opts.max_imu_dt)
     cost_i = jnp.sum(imu.r * imu.r)
     r_pr = prior_residual(prior, state, layout)
@@ -107,6 +115,7 @@ def build_normal_equations(
     state: WindowState, lam: jax.Array, obs: FeatureObs, pres: Preintegration,
     prior: Prior, gravity: jax.Array, layout: Layout, opts: SolverOptions,
     col_mask: jax.Array,  # [dim_x] 1 = free, 0 = held fixed
+    axis_name: str | None = None,
 ):
     """Assemble H (reduced-ready), b, and the landmark blocks."""
     obs = obs._replace(inv_depth=lam)
@@ -126,13 +135,14 @@ def build_normal_equations(
     r_prior = prior_residual(prior, state, layout)
     J_prior = jnp.where(prior.valid, prior.J, jnp.zeros_like(prior.J)) * col_mask[None, :]
 
+    # projection contributions are per-landmark-shard; IMU/prior replicated
     H = (
-        jnp.einsum("lfrd,lfre->de", J_dense, J_dense)
+        _psum(jnp.einsum("lfrd,lfre->de", J_dense, J_dense), axis_name)
         + jnp.einsum("kmd,kme->de", J_imu, J_imu)
         + J_prior.T @ J_prior
     )
     b = -(
-        jnp.einsum("lfrd,lfr->d", J_dense, r_p)
+        _psum(jnp.einsum("lfrd,lfr->d", J_dense, r_p), axis_name)
         + jnp.einsum("kmd,km->d", J_imu, imu.r)
         + J_prior.T @ r_prior
     )
@@ -145,15 +155,15 @@ def build_normal_equations(
     return H, b, H_xl, H_ll, b_l
 
 
-def _damped_solve(H, b, H_xl, H_ll, b_l, mu, dtype):
+def _damped_solve(H, b, H_xl, H_ll, b_l, mu, dtype, axis_name=None):
     """Schur-reduced, Marquardt-damped, Jacobi-preconditioned solve."""
     dim_x = H.shape[0]
     H_d = H + mu * jnp.diag(jnp.diagonal(H)) + 1e-10 * jnp.eye(dim_x, dtype=dtype)
     H_ll_d = H_ll * (1.0 + mu)
     inv_ll = jnp.where(H_ll > 1e-12, 1.0 / (H_ll_d + 1e-12), 0.0)
 
-    H_red = H_d - (H_xl * inv_ll[None, :]) @ H_xl.T
-    b_red = b - H_xl @ (inv_ll * b_l)
+    H_red = H_d - _psum((H_xl * inv_ll[None, :]) @ H_xl.T, axis_name)
+    b_red = b - _psum(H_xl @ (inv_ll * b_l), axis_name)
 
     d = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
     Hn = H_red / d[:, None] / d[None, :]
@@ -177,11 +187,14 @@ def solve_window(
     estimate_extrinsic: bool = False,
     estimate_td: bool = False,
     extra_diag: jax.Array | None = None,
+    axis_name: str | None = None,
 ):
     """Run the fixed-iteration LM loop; returns (state, inv_depth, info).
 
     `extra_diag` (shape [dim_x]) adds to the H diagonal — used for gauge
-    pinning in tests and for soft-fixing states."""
+    pinning in tests and for soft-fixing states.  With `axis_name`, the
+    landmark axis of `obs` is sharded over that mesh axis and the reduced
+    camera system is psum-assembled (distributed Schur BA)."""
     dt = state.p.dtype
     dim_x = layout.dim_x
 
@@ -194,18 +207,18 @@ def solve_window(
     extra = jnp.zeros((dim_x,), dt) if extra_diag is None else extra_diag.astype(dt)
 
     lam0 = obs.inv_depth
-    cost0 = compute_cost(state, lam0, obs, pres, prior, gravity, layout, opts)
+    cost0 = compute_cost(state, lam0, obs, pres, prior, gravity, layout, opts, axis_name)
 
     def step(carry, _):
         state, lam, mu, cost = carry
         H, b, H_xl, H_ll, b_l = build_normal_equations(
-            state, lam, obs, pres, prior, gravity, layout, opts, col_mask
+            state, lam, obs, pres, prior, gravity, layout, opts, col_mask, axis_name
         )
         H = H + jnp.diag(extra)
-        dx, d_lam = _damped_solve(H, b, H_xl, H_ll, b_l, mu, dt)
+        dx, d_lam = _damped_solve(H, b, H_xl, H_ll, b_l, mu, dt, axis_name)
         cand_state = state_boxplus(state, dx, layout)
         cand_lam = lam + d_lam
-        cand_cost = compute_cost(cand_state, cand_lam, obs, pres, prior, gravity, layout, opts)
+        cand_cost = compute_cost(cand_state, cand_lam, obs, pres, prior, gravity, layout, opts, axis_name)
         accept = cand_cost < cost
         new_state = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), state, cand_state)
         new_lam = jnp.where(accept, cand_lam, lam)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..imu.preintegration import Preintegration
 from .factors import densify_imu, densify_projection, imu_blocks, projection_blocks
-from .gn import _cauchy_weights
+from .gn import _cauchy_weights, _psum
 from .problem import FeatureObs, Layout, Prior, WindowState, prior_residual
 
 
@@ -43,7 +43,7 @@ def _eig_sqrt_factor(H: jax.Array, b: jax.Array, eps: float):
 def _assemble_full(
     state: WindowState, obs: FeatureObs, pres: Preintegration, prior: Prior,
     gravity: jax.Array, layout: Layout, focal: float, max_imu_dt: float,
-    proj_mask: jax.Array, imu_mask: jax.Array,
+    proj_mask: jax.Array, imu_mask: jax.Array, axis_name: str | None = None,
 ):
     """Dense Gauss-Newton system (H, b) over [state ⊕ landmarks] using only
     the factors selected by proj_mask [L, F] / imu_mask [F-1]."""
@@ -63,12 +63,12 @@ def _assemble_full(
     J_prior = jnp.where(prior.valid, prior.J, jnp.zeros_like(prior.J))
 
     H_xx = (
-        jnp.einsum("lfrd,lfre->de", J_dense, J_dense)
+        _psum(jnp.einsum("lfrd,lfre->de", J_dense, J_dense), axis_name)
         + jnp.einsum("kmd,kme->de", J_imu, J_imu)
         + J_prior.T @ J_prior
     )
     b_x = -(
-        jnp.einsum("lfrd,lfr->d", J_dense, r_p)
+        _psum(jnp.einsum("lfrd,lfr->d", J_dense, r_p), axis_name)
         + jnp.einsum("kmd,km->d", J_imu, r_imu)
         + J_prior.T @ r_prior
     )
@@ -88,6 +88,7 @@ def marginalize_old(
     focal: float = 460.0,
     max_imu_dt: float = 10.0,
     eig_eps: float = 1e-8,
+    axis_name: str | None = None,
 ) -> Prior:
     """Marginalize frame 0 (and its anchored landmarks) into a new prior in
     the *slid* window layout.
@@ -104,13 +105,13 @@ def marginalize_old(
 
     H_xx, b_x, H_xl, H_ll, b_l = _assemble_full(
         state, obs, pres, prior, gravity, layout, focal, max_imu_dt,
-        proj_mask, imu_mask,
+        proj_mask, imu_mask, axis_name,
     )
 
     # --- step 1: eliminate the (diagonal) landmark block -------------------
     inv_ll = jnp.where(H_ll > 1e-10, 1.0 / (H_ll + 1e-12), 0.0)
-    H1 = H_xx - (H_xl * inv_ll[None, :]) @ H_xl.T
-    b1 = b_x - H_xl @ (inv_ll * b_l)
+    H1 = H_xx - _psum((H_xl * inv_ll[None, :]) @ H_xl.T, axis_name)
+    b1 = b_x - _psum(H_xl @ (inv_ll * b_l), axis_name)
 
     # --- step 2: eliminate pose0 (cols 0:6) + sb0 (cols 6F:6F+9) -----------
     m_idx = jnp.concatenate([jnp.arange(6), 6 * F + jnp.arange(9)])
