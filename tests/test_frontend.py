@@ -18,10 +18,10 @@ H, W = 240, 320
 def smooth_texture(key, h=H, w=W, scale=8):
     """Random smooth texture: bilinear-upsampled coarse noise in [0,255]."""
     coarse = jax.random.uniform(key, (h // scale + 2, w // scale + 2), jnp.float32)
-    yy = (jnp.arange(h) / scale)[:, None] + jnp.zeros((1, w))
-    xx = (jnp.arange(w) / scale)[None, :] + jnp.zeros((h, 1))
+    yy = (jnp.arange(h, dtype=jnp.float32) / scale)[:, None] + jnp.zeros((1, w), jnp.float32)
+    xx = (jnp.arange(w, dtype=jnp.float32) / scale)[None, :] + jnp.zeros((h, 1), jnp.float32)
     xy = jnp.stack([xx, yy], axis=-1)
-    return 255.0 * bilinear(coarse, xy)
+    return (255.0 * bilinear(coarse, xy)).astype(jnp.float32)
 
 
 def shifted(img, dx, dy):
@@ -59,10 +59,12 @@ def test_lk_recovers_subpixel_shift():
 def test_lk_rejects_out_of_border():
     key = jax.random.PRNGKey(2)
     img0 = smooth_texture(key)
-    img1 = shifted(img0, -40.0, 0.0)  # contents move +40 px in x
-    pts = jnp.asarray([[W - 15.0, 100.0]], jnp.float32)  # will exit the image
-    out, ok = lk_pyramidal(img0, img1, pts, jnp.ones(1, bool))
+    img1 = shifted(img0, -8.0, 0.0)  # contents move +8 px in x
+    # starts just inside the window margin; correct tracking exits it
+    pts = jnp.asarray([[W - 13.0, 100.0], [100.0, 100.0]], jnp.float32)
+    out, ok = lk_pyramidal(img0, img1, pts, jnp.ones(2, bool))
     assert not bool(ok[0])
+    assert bool(ok[1])  # interior point unaffected
 
 
 def test_detect_grid_separation():
@@ -77,7 +79,7 @@ def test_detect_grid_separation():
     # winners can sit near a shared border ⇒ ≥ 1 px guaranteed, typical ≫)
     d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
     d[np.diag_indices(len(pts))] = 1e9
-    assert (d.min(1) > 1.0).all()
+    assert (d.min(1) >= 1.0).all()
     # suppression around existing features
     pts2, ok2 = detect_grid(resp, jnp.asarray(pts[:5], jnp.float32),
                             jnp.ones(5, bool), max_new=60, cell=30)

@@ -87,7 +87,9 @@ def lk_pyramidal(
     Status false ⇔ invalid input, degenerate gradient structure, or tracked
     out of border (inBorder, feature_tracker.cpp:5-11, BORDER_SIZE=1)."""
     H, W = img0.shape
-    dtype = img0.dtype
+    dtype = pts.dtype
+    img0 = img0.astype(dtype)
+    img1 = img1.astype(dtype)
     pyr0 = build_pyramid(img0, levels)
     pyr1 = build_pyramid(img1, levels)
     offs = _patch_grid(win, dtype)
@@ -103,8 +105,12 @@ def lk_pyramidal(
         if lvl > 0:
             g = g * 2.0
 
+    # OpenCV rejects points whose integration window leaves the image; the
+    # reference then applies its own 1-px inBorder test on top
+    half = win // 2
+    m = max(border, half + 1)
     in_border = (
-        (g[:, 0] >= border) & (g[:, 0] < W - border)
-        & (g[:, 1] >= border) & (g[:, 1] < H - border)
+        (g[:, 0] >= m) & (g[:, 0] < W - m)
+        & (g[:, 1] >= m) & (g[:, 1] < H - m)
     )
     return g, ok & in_border

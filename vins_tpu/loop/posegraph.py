@@ -1,0 +1,134 @@
+"""4-DoF global pose-graph optimization.
+
+TPU-native re-expression of PoseGraph::optimize4DoF
+(pose_graph/src/pose_graph.cpp:403-579 + the cost functors pose_graph.h:
+159-248): variables are per-keyframe yaw + translation (pitch/roll fixed
+from VIO); sequential edges connect each keyframe to its 4 predecessors with
+VIO-relative measurements; loop edges carry the verified relative pose with
+a Huber(0.1) robust weight; the first looped keyframe is held fixed; Ceres
+SPARSE_NORMAL_CHOLESKY × 5 iterations becomes a fixed-iteration masked dense
+GN (the active window since `earliest_loop_index` is ≤ a few hundred poses —
+a ~4K-dim dense solve is one MXU Cholesky).
+
+Angles are DEGREES throughout, matching the reference's utility math.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+
+SEQ_BACK = 4  # sequential edges to 4 previous keyframes (pose_graph.cpp:480)
+
+
+class GraphArrays(NamedTuple):
+    """Fixed-capacity pose-graph tensors (padded with `used` mask)."""
+
+    t_vio: jax.Array  # [K,3] VIO translation (sequence-shifted)
+    ypr_vio: jax.Array  # [K,3] VIO yaw/pitch/roll (degrees)
+    yaw: jax.Array  # [K] optimized yaw (degrees)
+    t: jax.Array  # [K,3] optimized translation
+    loop_to: jax.Array  # [K] int32 matched earlier keyframe (-1 = none)
+    loop_t: jax.Array  # [K,3] relative t in the old frame
+    loop_yaw: jax.Array  # [K] relative yaw (degrees)
+    used: jax.Array  # [K] bool
+    fixed: jax.Array  # [K] bool — gauge anchor(s)
+
+
+def _rot_yaw_pr(yaw_deg, pitch_deg, roll_deg):
+    return lie.ypr2R(jnp.stack([yaw_deg, pitch_deg, roll_deg], axis=-1))
+
+
+def _residuals(g: GraphArrays, yaw, t):
+    """All edge residuals, masked.  Sequential edges (i-k → i, k=1..4):
+    r_t = R_i(yaw_i)ᵀ(t_j−t_i) − t_ij^vio, r_yaw = Δyaw − Δyaw^vio (/10);
+    loop edges likewise with the measured relative pose and Huber weight."""
+    K = yaw.shape[0]
+    dt = t.dtype
+    pitch = g.ypr_vio[:, 1]
+    roll = g.ypr_vio[:, 2]
+
+    def edge_residual(i, j, t_meas, yaw_meas, w):
+        """Edge from keyframe i (earlier) to j (later)."""
+        Ri = _rot_yaw_pr(yaw[i], pitch[i], roll[i])
+        r_t = Ri.T @ (t[j] - t[i]) - t_meas
+        r_y = lie.normalize_angle(yaw[j] - yaw[i] - yaw_meas) / 10.0
+        return jnp.concatenate([r_t, r_y[None]]) * w
+
+    # --- sequential edges -----------------------------------------------
+    rs = []
+    for k in range(1, SEQ_BACK + 1):
+        i = jnp.maximum(jnp.arange(K) - k, 0)
+        j = jnp.arange(K)
+        Ri_vio = jax.vmap(_rot_yaw_pr)(g.ypr_vio[i, 0], pitch[i], roll[i])
+        t_meas = jnp.einsum("kab,ka->kb", Ri_vio, (g.t_vio[j] - g.t_vio[i]))
+        yaw_meas = g.ypr_vio[j, 0] - g.ypr_vio[i, 0]
+        w = (g.used[j] & g.used[i] & (j - k >= 0)).astype(dt)
+        r = jax.vmap(edge_residual)(i, j, t_meas, yaw_meas, w)
+        rs.append(r)
+
+    # --- loop edges -------------------------------------------------------
+    has_loop = g.loop_to >= 0
+    i = jnp.maximum(g.loop_to, 0)
+    j = jnp.arange(K)
+    w_loop = (has_loop & g.used[j]).astype(dt)
+    r_loop_raw = jax.vmap(edge_residual)(i, j, g.loop_t, g.loop_yaw, w_loop)
+    # Huber(0.1) sqrt-weight (FourDOFWeightError uses loss 0.1,
+    # pose_graph.cpp:432): w = sqrt(ρ'(s)) with ρ = Huber_δ
+    delta = 0.1
+    s = jnp.sum(r_loop_raw * r_loop_raw, axis=-1)
+    hub = jnp.where(s > delta * delta, delta / jnp.sqrt(jnp.maximum(s, 1e-12)), 1.0)
+    rs.append(r_loop_raw * jnp.sqrt(hub)[:, None])
+
+    return jnp.concatenate(rs, axis=0)  # [(SEQ_BACK+1)·K, 4]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_4dof(g: GraphArrays, iters: int = 5) -> GraphArrays:
+    """Masked dense GN over [yaw, t] with fixed anchors."""
+    K = g.yaw.shape[0]
+    dt = g.t.dtype
+    free = (g.used & ~g.fixed).astype(dt)
+    col_mask = jnp.concatenate([free, jnp.repeat(free, 3)])  # [4K]
+
+    def unpack(x):
+        return g.yaw + x[:K] * free, g.t + x[K:].reshape(K, 3) * free[:, None]
+
+    def step(carry, _):
+        yaw, t = carry
+
+        def res_of(x):
+            dyaw = x[:K] * free
+            dtv = x[K:].reshape(K, 3) * free[:, None]
+            return _residuals(g, yaw + dyaw, t + dtv).reshape(-1)
+
+        x0 = jnp.zeros((4 * K,), dt)
+        r = res_of(x0)
+        J = jax.jacfwd(res_of)(x0)
+        H = J.T @ J + jnp.diag(1.0 - col_mask) + 1e-8 * jnp.eye(4 * K, dtype=dt)
+        b = -(J.T @ r)
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
+        c, low = jax.scipy.linalg.cho_factor(H / d[:, None] / d[None, :])
+        dx = jax.scipy.linalg.cho_solve((c, low), b / d) / d
+        yaw = yaw + dx[:K] * free
+        t = t + dx[K:].reshape(K, 3) * free[:, None]
+        return (yaw, t), jnp.sum(r * r)
+
+    (yaw, t), costs = jax.lax.scan(step, (g.yaw, g.t), None, length=iters)
+    return g._replace(yaw=yaw, t=t)
+
+
+def drift_from(g: GraphArrays, cur: int):
+    """Compute (yaw_drift, t_drift) after optimization
+    (pose_graph.cpp:549-557): the correction mapping VIO poses to optimized
+    poses at the current keyframe."""
+    yaw_drift = lie.normalize_angle(g.yaw[cur] - g.ypr_vio[cur, 0])
+    R_drift = lie.ypr2R(jnp.stack([yaw_drift, jnp.zeros_like(yaw_drift),
+                                   jnp.zeros_like(yaw_drift)]))
+    t_drift = g.t[cur] - R_drift @ g.t_vio[cur]
+    return yaw_drift, R_drift, t_drift

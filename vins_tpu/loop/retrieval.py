@@ -1,0 +1,111 @@
+"""Loop-closure retrieval: brute-force descriptor-set scoring on the MXU.
+
+Replaces DBoW2 (pose_graph/src/ThirdParty/DBoW: k=10/L=6 vocabulary tree,
+TF-IDF L1 scoring, inverted index).  The reference needs the tree because a
+CPU can't brute-force 500×500×K Hamming distances in real time — the MXU
+can: with ±1 descriptors the whole distance computation is one int-friendly
+matmul per database chunk, streamed with a running minimum.  Exact (no
+quantization loss), no pretrained vocabulary needed (the reference's
+brief_k10L6.bin isn't even shipped), and the keyframe cap (~2000,
+tro_technical_report.pdf p.11) bounds memory: 2048 × 256 desc × 256 bit as
+int8 ≈ 134 MB HBM.
+
+Scores: fraction of query descriptors whose best match in the candidate
+keyframe is below the Hamming threshold — a set-overlap score in [0,1]
+playing the role of DBoW2's L1 score (detectLoop thresholds re-tuned
+accordingly: accept best > 0.35 with a second candidate > 0.22 at loop
+verification recall; pose_graph.cpp:348-365 uses 0.05/0.015 on its scale).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .brief import BRIEF_BITS
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",), donate_argnums=())
+def _score_all(query: jax.Array, qvalid: jax.Array, db: jax.Array,
+               dbvalid: jax.Array, match_thresh: float, chunk: int = 32):
+    """query [P,256] ±1, db [K,P,256] int8 ±1 → scores [K]."""
+    K, P, B = db.shape
+    q = query.astype(jnp.float32)
+    nq = jnp.maximum(jnp.sum(qvalid), 1.0)
+
+    def body(carry, k0):
+        d_chunk = jax.lax.dynamic_slice_in_dim(db, k0 * chunk, chunk, 0)
+        v_chunk = jax.lax.dynamic_slice_in_dim(dbvalid, k0 * chunk, chunk, 0)
+        dots = jnp.einsum(
+            "pb,kqb->pkq", q, d_chunk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        dist = 0.5 * (B - dots)
+        dist = jnp.where(v_chunk[None, :, :], dist, jnp.inf)
+        best = jnp.min(dist, axis=2)  # [P, chunk]
+        hits = (best < match_thresh) & qvalid[:, None]
+        return carry, jnp.sum(hits, axis=0) / nq
+
+    _, scores = jax.lax.scan(body, None, jnp.arange(K // chunk))
+    return scores.reshape(K)
+
+
+class KeyframeDB:
+    """Fixed-capacity device-side descriptor store + host metadata."""
+
+    def __init__(self, capacity: int = 2048, pts_per_kf: int = 256,
+                 match_thresh: float = 60.0, chunk: int = 32):
+        self.cap = capacity
+        self.P = pts_per_kf
+        self.match_thresh = match_thresh
+        self.chunk = chunk
+        self.desc = jnp.zeros((capacity, pts_per_kf, BRIEF_BITS), jnp.int8)
+        self.valid = jnp.zeros((capacity, pts_per_kf), bool)
+        self.count = 0
+
+    def add(self, desc: jax.Array, valid: jax.Array) -> int:
+        """Append one keyframe's descriptors; returns its index.  At capacity
+        the DB downsamples by dropping every other old entry — the reference
+        instead stops adding; we keep recall on the recent map."""
+        if self.count >= self.cap:
+            keep = np.arange(0, self.cap, 2)
+            n = len(keep)
+            self.desc = self.desc.at[:n].set(self.desc[keep])
+            self.valid = self.valid.at[:n].set(self.valid[keep])
+            self.valid = self.valid.at[n:].set(False)
+            self.count = n
+        i = self.count
+        self.desc = self.desc.at[i].set(desc.astype(jnp.int8))
+        self.valid = self.valid.at[i].set(valid)
+        self.count += 1
+        return i
+
+    def query(self, desc: jax.Array, valid: jax.Array, exclude_last: int = 50,
+              top_k: int = 4):
+        """detectLoop's query (pose_graph.cpp:304-386): score all stored
+        keyframes except the most recent `exclude_last`, return (indices,
+        scores) of the top-k."""
+        scores = np.array(_score_all(
+            desc.astype(jnp.float32), valid, self.desc, self.valid,
+            self.match_thresh, self.chunk,
+        ))
+        hi = max(self.count - exclude_last, 0)
+        scores[hi:] = -1.0
+        order = np.argsort(-scores)[:top_k]
+        return order, scores[order]
+
+
+def pick_loop_candidate(idx: np.ndarray, scores: np.ndarray,
+                        accept: float = 0.35, second: float = 0.22):
+    """The reference's acceptance rule (pose_graph.cpp:348-382): best above
+    `accept` AND at least one other candidate above `second`; return the
+    EARLIEST qualifying index (oldest loop)."""
+    if len(scores) == 0 or scores[0] < accept:
+        return None
+    others = scores[1:]
+    if not (others > second).any():
+        return None
+    qual = [int(i) for i, s in zip(idx, scores) if s > second]
+    return min(qual) if qual else None
