@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Replay a EuRoC sequence through the full pipeline — the TPU-native
+equivalent of `roslaunch vins_estimator euroc.launch` + rosbag play
+(README.md:66-89).
+
+Usage:
+  python tools/run_euroc.py <dataset_root> --config config/euroc.yaml \
+      [--out out_dir] [--no-loop] [--max-frames N]
+
+Writes vins_result_no_loop.tum and vins_result_loop.tum (the reference's
+vins_result_no_loop.csv / vins_result_loop.csv outputs,
+vins_estimator/src/parameters.cpp:61, pose_graph_node.cpp:506).
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def load_image(path):
+    """Minimal grayscale PNG/PGM loader (no cv2 in this environment)."""
+    if path.endswith((".pgm", ".PGM")):
+        with open(path, "rb") as f:
+            assert f.readline().strip() == b"P5"
+            line = f.readline()
+            while line.startswith(b"#"):
+                line = f.readline()
+            w, h = map(int, line.split())
+            maxv = int(f.readline())
+            img = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
+        return img.astype(np.float32)
+    try:
+        from PIL import Image  # pragma: no cover
+
+        return np.asarray(Image.open(path).convert("L"), np.float32)
+    except ImportError:
+        pass
+    from vins_tpu.io.png import read_png_gray  # native/py fallback decoder
+
+    return read_png_gray(path).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("--config", default="config/euroc.yaml")
+    ap.add_argument("--out", default=".")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from vins_tpu.config import load_config
+    from vins_tpu.core.cameras import camera_from_yaml
+    from vins_tpu.io.euroc import iter_measurements, load_cam_index, load_imu
+    from vins_tpu.pipeline import Pipeline
+
+    cfg = load_config(args.config)
+    cam = camera_from_yaml(cfg.camera, dtype=jnp.float32)
+    pipe = Pipeline(cfg, cam, loop_closure=not args.no_loop)
+
+    imu = load_imu(args.root)
+    cidx = load_cam_index(args.root)
+    n = 0
+    t0 = time.perf_counter()
+    for m in iter_measurements(imu, cidx, td=cfg.td):
+        for k in range(len(m.imu_t)):
+            pipe.process_imu(m.imu_t[k], m.imu_acc[k], m.imu_gyr[k])
+        img = load_image(m.image_path)
+        out = pipe.process_image(img, m.t_img)
+        n += 1
+        if n % 100 == 0:
+            fps = n / (time.perf_counter() - t0)
+            print(f"frame {n}  {fps:.1f} fps  {out.get('kind','')}", flush=True)
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    os.makedirs(args.out, exist_ok=True)
+    pipe.write_trajectories(
+        os.path.join(args.out, "vins_result_no_loop.tum"),
+        os.path.join(args.out, "vins_result_loop.tum"),
+    )
+    print(f"done: {n} frames, {len(pipe.trajectory)} poses")
+
+
+if __name__ == "__main__":
+    main()

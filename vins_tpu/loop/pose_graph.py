@@ -1,0 +1,331 @@
+"""Keyframe database + global pose graph (host orchestration).
+
+TPU-native re-expression of pose_graph/src/{keyframe.cpp, pose_graph.cpp}:
+
+  * `KeyFrame`: VIO pose + window landmarks + BRIEF descriptors of (a) the
+    tracked window points and (b) ~fresh FAST corners (keyframe.cpp:75-113).
+  * `PoseGraph.add_keyframe`: sequence shift → retrieval query (detectLoop,
+    pose_graph.cpp:304-386) → descriptor matching + PnP-RANSAC geometric
+    verification (findConnection, keyframe.cpp:259-520) → 4-DoF optimization
+    (optimize4DoF, :403-579, run synchronously here — deterministic, no 2 s
+    thread) → drift update + keyframe re-mapping.
+  * map merge: the first loop from a new sequence to the base map computes a
+    yaw+translation shift re-mapping the whole sequence (:103-124).
+  * save/load: npz map file (the reference's pose_graph.txt + per-kf binary
+    descriptor dumps, pose_graph.cpp:697-870).
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from .brief import brief_describe, fast_detect, match_descriptors, smooth_for_brief
+from .posegraph import GraphArrays, drift_from, optimize_4dof
+from .retrieval import KeyframeDB, pick_loop_candidate
+from .verify import pnp_ransac, relative_check
+
+
+def _ypr(q):
+    return np.array(lie.R2ypr(lie.q2R(jnp.asarray(q))))
+
+
+def _yawR(yaw_deg):
+    return np.array(lie.ypr2R(jnp.asarray([yaw_deg, 0.0, 0.0])))
+
+
+class KeyFrame:
+    def __init__(self, index, stamp, p_vio, q_vio, points_3d, points_2d_norm,
+                 window_desc, window_valid, fast_pts_norm, fast_desc, fast_valid,
+                 sequence=1):
+        self.index = index
+        self.stamp = stamp
+        self.sequence = sequence
+        self.p_vio = np.array(p_vio, float)  # body in world (shifted)
+        self.q_vio = np.array(q_vio, float)
+        self.p = self.p_vio.copy()  # pose-graph-corrected
+        self.q = self.q_vio.copy()
+        self.points_3d = np.array(points_3d, float)  # [Lw,3] world
+        self.points_2d = np.array(points_2d_norm, float)  # [Lw,2]
+        self.window_desc = window_desc  # [Lw,256] ±1 device
+        self.window_valid = window_valid  # [Lw]
+        self.fast_pts = fast_pts_norm  # [P,2] normalized coords (device)
+        self.fast_desc = fast_desc  # [P,256]
+        self.fast_valid = fast_valid  # [P]
+        self.loop_index = -1
+        self.loop_rel_t = np.zeros(3)
+        self.loop_rel_q = np.array([1.0, 0, 0, 0])
+        self.loop_rel_yaw = 0.0
+
+
+def extract_keyframe_features(img, cam, max_fast: int = 256, fast_thresh: float = 20.0):
+    """FAST + BRIEF for a new keyframe (computeBRIEFPoint, keyframe.cpp:
+    87-113).  Returns (pts_norm [P,2], desc [P,256], valid [P])."""
+    im = jnp.asarray(img, jnp.float32)
+    sm = smooth_for_brief(im)
+    pts, ok = fast_detect(im, max_pts=max_fast, threshold=fast_thresh)
+    desc = brief_describe(sm, pts)
+    rays = cam.lift(pts)
+    pts_norm = rays[..., :2] / rays[..., 2:3]
+    return pts_norm, desc, ok
+
+
+def describe_window_points(img, uv):
+    """BRIEF at the tracked window points (computeWindowBRIEFPoint,
+    keyframe.cpp:75-85).  uv: [Lw,2] pixel coords."""
+    sm = smooth_for_brief(jnp.asarray(img, jnp.float32))
+    return brief_describe(sm, jnp.asarray(uv, jnp.float32))
+
+
+class PoseGraph:
+    def __init__(self, qic, tic, capacity: int = 512, db: KeyframeDB | None = None,
+                 min_loop_inliers: int = 25, exclude_last: int = 50):
+        self.qic = np.array(qic, float)
+        self.tic = np.array(tic, float)
+        self.K = capacity
+        self.keyframes: list[KeyFrame] = []
+        self.db = db or KeyframeDB(capacity_round(capacity), 256)
+        self.min_loop_inliers = min_loop_inliers
+        self.exclude_last = exclude_last  # detectLoop skips recent frames (pose_graph.cpp:319)
+        # drift correction (vio → corrected), and sequence-merge shifts
+        self.r_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self.seq_shift = {0: (np.eye(3), np.zeros(3))}  # seq → (R, t) vio shift
+        self.earliest_loop_index = -1
+        self._key = jax.random.PRNGKey(11)
+        self._graph = self._empty_graph()
+
+    def _empty_graph(self) -> GraphArrays:
+        K = self.K
+        z = jnp.zeros
+        return GraphArrays(
+            t_vio=z((K, 3)), ypr_vio=z((K, 3)), yaw=z((K,)), t=z((K, 3)),
+            loop_to=jnp.full((K,), -1, jnp.int32), loop_t=z((K, 3)),
+            loop_yaw=z((K,)), used=z((K,), bool), fixed=z((K,), bool),
+        )
+
+    # ------------------------------------------------------------------ add
+
+    def add_keyframe(self, kf: KeyFrame, detect_loop: bool = True) -> dict:
+        # sequence shift (pose_graph.cpp:53-60)
+        if kf.sequence not in self.seq_shift:
+            self.seq_shift[kf.sequence] = (np.eye(3), np.zeros(3))
+        Rs, ts = self.seq_shift[kf.sequence]
+        kf.p_vio = Rs @ kf.p_vio + ts
+        kf.q_vio = np.array(lie.qmul(lie.R2q(jnp.asarray(Rs)), jnp.asarray(kf.q_vio)))
+        kf.p = self.r_drift @ kf.p_vio + self.t_drift
+        kf.q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(kf.q_vio)))
+
+        i = len(self.keyframes)
+        kf.index = i
+        if i >= self.K:
+            self._grow()
+        self.keyframes.append(kf)
+        ypr = _ypr(kf.q_vio)
+        g = self._graph
+        g = g._replace(
+            t_vio=g.t_vio.at[i].set(jnp.asarray(kf.p_vio)),
+            ypr_vio=g.ypr_vio.at[i].set(jnp.asarray(ypr)),
+            yaw=g.yaw.at[i].set(_ypr(kf.q)[0]),
+            t=g.t.at[i].set(jnp.asarray(kf.p)),
+            used=g.used.at[i].set(True),
+            fixed=g.fixed.at[i].set(i == 0),
+        )
+        self._graph = g
+
+        out = {"index": i, "loop": None}
+        cand = None
+        if detect_loop:
+            idx, scores = self.db.query(kf.fast_desc, kf.fast_valid,
+                                        exclude_last=self.exclude_last)
+            cand = pick_loop_candidate(idx, scores)
+            out["scores"] = scores
+        self.db.add(kf.fast_desc, kf.fast_valid)
+        if cand is not None:
+            ok = self._find_connection(kf, int(cand))
+            if ok:
+                out["loop"] = int(cand)
+                self._optimize(kf.index)
+        return out
+
+    # ------------------------------------------------------- loop validation
+
+    def _find_connection(self, kf: KeyFrame, old_idx: int) -> bool:
+        """findConnection (keyframe.cpp:259-520): window BRIEF ↔ old FAST
+        BRIEF matching, then PnP-RANSAC on (cur 3D, old 2D)."""
+        old = self.keyframes[old_idx]
+        midx, mok = match_descriptors(
+            kf.window_desc, kf.window_valid, old.fast_desc, old.fast_valid
+        )
+        midx = np.array(midx)
+        mok = np.array(mok)
+        if mok.sum() < self.min_loop_inliers:
+            return False
+
+        Lw = len(kf.points_3d)
+        X = jnp.asarray(kf.points_3d, jnp.float64)
+        x_old = jnp.asarray(np.array(old.fast_pts)[midx], jnp.float64)
+        # initial guess: current keyframe CAMERA pose from VIO
+        Ric = np.array(lie.q2R(jnp.asarray(self.qic)))
+        R_b = np.array(lie.q2R(jnp.asarray(kf.q_vio)))
+        p_c0 = kf.p_vio + R_b @ self.tic
+        q_c0 = lie.qmul(jnp.asarray(kf.q_vio), jnp.asarray(self.qic))
+
+        self._key, sub = jax.random.split(self._key)
+        res = pnp_ransac(
+            X, x_old, jnp.asarray(mok), jnp.asarray(p_c0), q_c0, sub,
+            min_inliers=self.min_loop_inliers,
+        )
+        if not bool(res.ok):
+            return False
+        # old keyframe BODY pose implied by PnP (in the current world)
+        q_old_b = lie.qmul(res.q, lie.qconj(jnp.asarray(self.qic)))
+        p_old_b = np.array(res.p) - np.array(lie.q2R(q_old_b)) @ self.tic
+
+        rel_t, rel_yaw, ok = relative_check(
+            jnp.asarray(p_old_b), q_old_b,
+            jnp.asarray(kf.p_vio), jnp.asarray(kf.q_vio),
+        )
+        if not bool(ok):
+            return False
+
+        kf.loop_index = old_idx
+        kf.loop_rel_t = np.array(rel_t)
+        kf.loop_rel_yaw = float(rel_yaw)
+        kf.loop_rel_q = np.array(
+            lie.qmul(lie.qconj(q_old_b), jnp.asarray(kf.q_vio))
+        )
+        g = self._graph
+        self._graph = g._replace(
+            loop_to=g.loop_to.at[kf.index].set(old_idx),
+            loop_t=g.loop_t.at[kf.index].set(jnp.asarray(kf.loop_rel_t)),
+            loop_yaw=g.loop_yaw.at[kf.index].set(kf.loop_rel_yaw),
+        )
+        if self.earliest_loop_index < 0 or old_idx < self.earliest_loop_index:
+            self.earliest_loop_index = old_idx
+
+        # map merge: first loop from a non-base sequence (pose_graph.cpp:103-124)
+        if kf.sequence != old.sequence and kf.sequence not in getattr(self, "_merged", set()):
+            self._merge_sequences(kf, old)
+        return True
+
+    def _merge_sequences(self, kf: KeyFrame, old: KeyFrame):
+        """yaw+t shift mapping kf's sequence onto the old sequence's world."""
+        R_old = np.array(lie.q2R(jnp.asarray(old.q)))
+        w_P_cur = old.p + R_old @ kf.loop_rel_t
+        yaw_shift = _ypr(old.q)[0] + kf.loop_rel_yaw - _ypr(kf.q_vio)[0]
+        Rsh = _yawR(yaw_shift)
+        tsh = w_P_cur - Rsh @ kf.p_vio
+        self.seq_shift[kf.sequence] = (Rsh, tsh)
+        self._merged = getattr(self, "_merged", set()) | {kf.sequence}
+        # re-shift this keyframe + every stored kf of the same sequence
+        for k in self.keyframes:
+            if k.sequence == kf.sequence:
+                k.p_vio = Rsh @ k.p_vio + tsh
+                k.q_vio = np.array(lie.qmul(lie.R2q(jnp.asarray(Rsh)), jnp.asarray(k.q_vio)))
+                self._graph = self._graph._replace(
+                    t_vio=self._graph.t_vio.at[k.index].set(jnp.asarray(k.p_vio)),
+                    ypr_vio=self._graph.ypr_vio.at[k.index].set(jnp.asarray(_ypr(k.q_vio))),
+                )
+
+    # ---------------------------------------------------------------- solve
+
+    def _optimize(self, cur: int):
+        g = self._graph
+        # gauge: fix the earliest looped keyframe (pose_graph.cpp:473-477)
+        fixed = jnp.zeros_like(g.fixed).at[max(self.earliest_loop_index, 0)].set(True)
+        g = g._replace(fixed=fixed)
+        g = optimize_4dof(g, iters=5)
+        self._graph = g
+
+        yaw_drift, R_drift, t_drift = drift_from(g, cur)
+        self.r_drift = np.array(R_drift)
+        self.t_drift = np.array(t_drift)
+
+        # write back optimized poses; keyframes after cur get drift-corrected
+        # (pose_graph.cpp:549-571)
+        yaw = np.array(g.yaw)
+        t = np.array(g.t)
+        for k in self.keyframes[: cur + 1]:
+            ypr_v = _ypr(k.q_vio)
+            R = np.array(lie.ypr2R(jnp.asarray([yaw[k.index], ypr_v[1], ypr_v[2]])))
+            k.p = t[k.index]
+            k.q = np.array(lie.R2q(jnp.asarray(R)))
+        for k in self.keyframes[cur + 1 :]:
+            k.p = self.r_drift @ k.p_vio + self.t_drift
+            k.q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(k.q_vio)))
+
+    def _grow(self):
+        self.K *= 2
+        old = self._graph
+        new = self._empty_graph()
+        n = old.used.shape[0]
+        self._graph = jax.tree.map(
+            lambda dst, src: dst.at[:n].set(src), new, old
+        )
+
+    def correct_pose(self, p_vio, q_vio, sequence=1):
+        """Live output correction (vio_callback, pose_graph_node.cpp:201-279):
+        sequence shift then loop drift."""
+        Rs, ts = self.seq_shift.get(sequence, (np.eye(3), np.zeros(3)))
+        p = Rs @ np.asarray(p_vio, float) + ts
+        q = np.array(lie.qmul(lie.R2q(jnp.asarray(Rs)), jnp.asarray(q_vio, float)))
+        p = self.r_drift @ p + self.t_drift
+        q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(q)))
+        return p, q
+
+    # ------------------------------------------------------------- save/load
+
+    def save(self, path: str):
+        """Map persistence (savePoseGraph, pose_graph.cpp:697-788)."""
+        ks = self.keyframes
+        np.savez_compressed(
+            path,
+            stamp=np.array([k.stamp for k in ks]),
+            sequence=np.array([k.sequence for k in ks]),
+            p_vio=np.stack([k.p_vio for k in ks]) if ks else np.zeros((0, 3)),
+            q_vio=np.stack([k.q_vio for k in ks]) if ks else np.zeros((0, 4)),
+            p=np.stack([k.p for k in ks]) if ks else np.zeros((0, 3)),
+            q=np.stack([k.q for k in ks]) if ks else np.zeros((0, 4)),
+            loop_index=np.array([k.loop_index for k in ks]),
+            loop_rel_t=np.stack([k.loop_rel_t for k in ks]) if ks else np.zeros((0, 3)),
+            loop_rel_yaw=np.array([k.loop_rel_yaw for k in ks]),
+            fast_pts=np.stack([np.array(k.fast_pts) for k in ks]) if ks else 0,
+            fast_desc=np.stack([np.array(k.fast_desc, np.int8) for k in ks]) if ks else 0,
+            fast_valid=np.stack([np.array(k.fast_valid) for k in ks]) if ks else 0,
+        )
+
+    def load(self, path: str):
+        """Load a previous map as the fixed base sequence 0 (loadPoseGraph,
+        pose_graph.cpp:791-870): new sessions relocalize against it."""
+        d = np.load(path)
+        n = len(d["stamp"])
+        for i in range(n):
+            kf = KeyFrame(
+                index=i, stamp=float(d["stamp"][i]),
+                p_vio=d["p_vio"][i], q_vio=d["q_vio"][i],
+                points_3d=np.zeros((0, 3)), points_2d_norm=np.zeros((0, 2)),
+                window_desc=jnp.zeros((0, 256)), window_valid=jnp.zeros((0,), bool),
+                fast_pts_norm=jnp.asarray(d["fast_pts"][i]),
+                fast_desc=jnp.asarray(d["fast_desc"][i], jnp.float32),
+                fast_valid=jnp.asarray(d["fast_valid"][i]),
+                sequence=0,
+            )
+            kf.p = d["p"][i]
+            kf.q = d["q"][i]
+            kf.loop_index = int(d["loop_index"][i])
+            self.add_keyframe(kf, detect_loop=False)
+            # loaded poses are authoritative (base map held fixed)
+            self.keyframes[-1].p = d["p"][i]
+            self.keyframes[-1].q = d["q"][i]
+
+
+def capacity_round(n: int) -> int:
+    k = 1
+    while k < n:
+        k *= 2
+    return k

@@ -78,10 +78,12 @@ def _residuals(g: GraphArrays, yaw, t):
     j = jnp.arange(K)
     w_loop = (has_loop & g.used[j]).astype(dt)
     r_loop_raw = jax.vmap(edge_residual)(i, j, g.loop_t, g.loop_yaw, w_loop)
-    # Huber(0.1) sqrt-weight (FourDOFWeightError uses loss 0.1,
-    # pose_graph.cpp:432): w = sqrt(ρ'(s)) with ρ = Huber_δ
+    # Huber sqrt-weight w = sqrt(ρ'(s)), ρ = Huber_δ (pose_graph.cpp:431:
+    # HuberLoss(0.1) on loop edges).  The weight is FROZEN per linearization
+    # (stop_gradient) — classic IRLS; differentiating through w ∝ 1/|r|
+    # would cancel the edge's own gradient.
     delta = 0.1
-    s = jnp.sum(r_loop_raw * r_loop_raw, axis=-1)
+    s = jax.lax.stop_gradient(jnp.sum(r_loop_raw * r_loop_raw, axis=-1))
     hub = jnp.where(s > delta * delta, delta / jnp.sqrt(jnp.maximum(s, 1e-12)), 1.0)
     rs.append(r_loop_raw * jnp.sqrt(hub)[:, None])
 

@@ -98,14 +98,20 @@ class KeyframeDB:
 
 
 def pick_loop_candidate(idx: np.ndarray, scores: np.ndarray,
-                        accept: float = 0.35, second: float = 0.22):
+                        accept: float = 0.35, second: float = 0.22,
+                        strong: float = 0.6):
     """The reference's acceptance rule (pose_graph.cpp:348-382): best above
     `accept` AND at least one other candidate above `second`; return the
-    EARLIEST qualifying index (oldest loop)."""
+    EARLIEST qualifying index (oldest loop).  Addition: a single
+    overwhelmingly strong match (≥ `strong`) is accepted on its own — the
+    two-candidate consensus exists to reject borderline scores, not
+    near-perfect ones (geometric verification still gates the final say)."""
     if len(scores) == 0 or scores[0] < accept:
         return None
     others = scores[1:]
-    if not (others > second).any():
+    if scores[0] < strong and not (others > second).any():
         return None
     qual = [int(i) for i, s in zip(idx, scores) if s > second]
+    if scores[0] >= strong:
+        qual.append(int(idx[0]))
     return min(qual) if qual else None

@@ -1,0 +1,181 @@
+"""Full-system pipeline: front-end → estimator → pose graph.
+
+The TPU-native equivalent of the reference's three-node roslaunch graph
+(vins_estimator/launch/euroc.launch wiring feature_tracker, vins_estimator,
+pose_graph over topics).  Topics become direct calls; the节点-level behaviors
+live here:
+
+  * frequency controller: track every frame, publish features at FREQ Hz
+    (feature_tracker_node.cpp:51-62),
+  * stream-health watchdog: >1 s gap or backwards time ⇒ restart both the
+    tracker and the estimator (feature_tracker_node.cpp:38-48,
+    estimator_node.cpp:179-198), and a new pose-graph sequence
+    (pose_graph_node.cpp:69-91),
+  * keyframe hand-off: when the estimator marginalizes a keyframe, its pose
+    + landmarks + the raw image build a pose-graph KeyFrame
+    (visualization.cpp:348-404 pubKeyframe → pose_graph_node process()),
+  * IMU-rate propagation output (estimator_node.cpp:42-96).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import VinsConfig
+from .core import lie
+from .estimator.estimator import NON_LINEAR, Estimator
+from .estimator.propagator import ImuPropagator
+from .frontend.tracker import FeatureTracker
+from .loop.pose_graph import (KeyFrame, PoseGraph, describe_window_points,
+                              extract_keyframe_features)
+
+
+class Pipeline:
+    def __init__(self, cfg: VinsConfig, camera, imu_buf_len: int = 256,
+                 loop_closure: bool | None = None, dtype=jnp.float64):
+        self.cfg = cfg
+        self.camera = camera
+        self.tracker = FeatureTracker(
+            camera, max_cnt=cfg.max_cnt, min_dist=cfg.min_dist,
+            f_threshold=cfg.f_threshold, equalize=cfg.equalize, focal=cfg.focal,
+        )
+        self.estimator = Estimator(cfg, imu_buf_len=imu_buf_len, dtype=dtype)
+        self.loop_closure = cfg.loop_closure if loop_closure is None else loop_closure
+        self.pose_graph = (
+            PoseGraph(self.estimator.qic, self.estimator.tic)
+            if self.loop_closure else None
+        )
+        self.propagator = ImuPropagator(cfg.g_norm)
+
+        self.freq = cfg.freq
+        self._pub_count = 0
+        self._first_image_time = None
+        self._last_image_time = None
+        self._last_img = None
+        self.trajectory = []  # (t, p, q) VIO outputs
+        self.trajectory_loop = []  # pose-graph-corrected outputs
+        self.sequence = 1
+
+    # ------------------------------------------------------------------ IMU
+
+    def process_imu(self, t: float, acc, gyr):
+        self.estimator.process_imu(
+            t - self.propagator.t if self.propagator.t is not None else 0.0,
+            acc, gyr,
+        )
+        return self.propagator.predict(t, acc, gyr)
+
+    # ---------------------------------------------------------------- image
+
+    def process_image(self, img: np.ndarray, t: float) -> dict:
+        # stream-health watchdog (feature_tracker_node.cpp:38-48)
+        if self._last_image_time is not None and (
+            t - self._last_image_time > 1.0 or t < self._last_image_time
+        ):
+            self._restart()
+        self._last_image_time = t
+        if self._first_image_time is None:
+            self._first_image_time = t
+
+        # frequency controller (feature_tracker_node.cpp:51-62)
+        elapsed = max(t - self._first_image_time, 1e-9)
+        publish = self._pub_count / elapsed <= self.freq or self.freq <= 0
+        if publish and abs(self._pub_count / elapsed - self.freq) < 0.01 * self.freq:
+            self._first_image_time = t
+            self._pub_count = 0
+
+        feats = self.tracker.read_image(img, t, publish=publish)
+        out = {"published": publish}
+        if not publish or feats is None:
+            return out
+        self._pub_count += 1
+        self._last_img = img
+
+        ev = self.estimator.process_image(
+            feats.ids, feats.pts, feats.vel, feats.uv, t,
+        )
+        out.update(ev)
+
+        est = self.estimator
+        if est.solver_flag == NON_LINEAR:
+            W = est.W
+            p, q = est.p[W].copy(), est.q[W].copy()
+            self.trajectory.append((t, p, q))
+            self.propagator.rebase(t, p, q, est.v[W], est.ba[W], est.bg[W])
+            if self.pose_graph is not None:
+                pc, qc = self.pose_graph.correct_pose(p, q, self.sequence)
+                self.trajectory_loop.append((t, pc, qc))
+            if ev.get("marg_old") and self.pose_graph is not None:
+                loop = self._handoff_keyframe()
+                if loop is not None:
+                    out["loop"] = loop
+        return out
+
+    # ------------------------------------------------------------- keyframe
+
+    def _handoff_keyframe(self):
+        """Build a pose-graph keyframe from the just-marginalized frame
+        (pubKeyframe publishes frame WINDOW-2 after MARGIN_OLD,
+        visualization.cpp:348-404; we use the newest solved keyframe)."""
+        est = self.estimator
+        db = est.db
+        kf_frame = est.F - 2  # the newest *keyframe* (F-1 may be rejected)
+        t = est.timestamps[kf_frame]
+        p_b = est.p[kf_frame]
+        q_b = est.q[kf_frame]
+
+        # landmarks observed in that frame with solved depth
+        m = db.used & db.valid[:, kf_frame] & (db.inv_depth > 0)
+        anchors = db.anchor
+        pts3d, pts2d, uv = [], [], []
+        for k in np.nonzero(m)[0]:
+            a = anchors[k]
+            d = 1.0 / db.inv_depth[k]
+            ray = np.append(db.pt[k, a], 1.0) * d
+            Ra = np.array(lie.q2R(jnp.asarray(est.q[a])))
+            Ric = np.array(lie.q2R(jnp.asarray(est.qic)))
+            Xw = Ra @ (Ric @ ray + est.tic) + est.p[a]
+            pts3d.append(Xw)
+            pts2d.append(db.pt[k, kf_frame])
+            uv.append(db.uv[k, kf_frame])
+        if len(pts3d) < 10 or self._last_img is None:
+            return None
+        pts3d = np.stack(pts3d)
+        pts2d = np.stack(pts2d)
+        uv = np.stack(uv)
+
+        wdesc = describe_window_points(self._last_img, uv)
+        fpts, fdesc, fok = extract_keyframe_features(self._last_img, self.camera)
+        kf = KeyFrame(
+            index=-1, stamp=float(t), p_vio=p_b, q_vio=q_b,
+            points_3d=pts3d, points_2d_norm=pts2d,
+            window_desc=wdesc, window_valid=jnp.ones(len(pts3d), bool),
+            fast_pts_norm=fpts, fast_desc=fdesc, fast_valid=fok,
+            sequence=self.sequence,
+        )
+        res = self.pose_graph.add_keyframe(kf)
+        return res.get("loop")
+
+    # ---------------------------------------------------------------- admin
+
+    def _restart(self):
+        """Stream fault: reboot front-end + estimator, open a new map
+        sequence (the reference's restart topic + new_sequence)."""
+        self.tracker.reset()
+        self.estimator.clear_state()
+        self.propagator.reset()
+        self._first_image_time = None
+        self._pub_count = 0
+        self.sequence += 1
+
+    def write_trajectories(self, path_vio: str, path_loop: str | None = None):
+        from .io.euroc import write_tum
+
+        if self.trajectory:
+            t, p, q = zip(*self.trajectory)
+            write_tum(path_vio, np.asarray(t), np.stack(p), np.stack(q))
+        if path_loop and self.trajectory_loop:
+            t, p, q = zip(*self.trajectory_loop)
+            write_tum(path_loop, np.asarray(t), np.stack(p), np.stack(q))
