@@ -48,6 +48,7 @@ class FeatureTracker:
         focal: float = 460.0,
         win: int = 21,
         levels: int = 3,
+        mask: np.ndarray | None = None,
         dtype=jnp.float32,
     ):
         self.cam = camera
@@ -59,6 +60,10 @@ class FeatureTracker:
         self.win = win
         self.levels = levels
         self.dtype = dtype
+        # optional field-of-view mask (the reference's fisheye mask image,
+        # feature_tracker.cpp:95-100 + parameters.cpp fisheye path): features
+        # tracked into (or detected in) masked-out pixels are rejected
+        self.mask = None if mask is None else np.asarray(mask, bool)
 
         self.pts = np.zeros((max_cnt, 2))
         self.ids = np.full(max_cnt, -1, np.int64)
@@ -88,6 +93,10 @@ class FeatureTracker:
             )
             self.pts = np.array(new_pts, float)
             self.valid &= np.array(status)
+            if self.mask is not None:
+                xi = np.clip(self.pts[:, 0].astype(int), 0, self.mask.shape[1] - 1)
+                yi = np.clip(self.pts[:, 1].astype(int), 0, self.mask.shape[0] - 1)
+                self.valid &= self.mask[yi, xi]
             self.track_cnt[self.valid] += 1
 
         if publish:
@@ -163,6 +172,8 @@ class FeatureTracker:
         if n_free <= 0:
             return
         resp = shi_tomasi_response(im)
+        if self.mask is not None:
+            resp = jnp.where(jnp.asarray(self.mask), resp, -jnp.inf)
         pts_new, ok = detect_grid(
             resp, jnp.asarray(self.pts, self.dtype), jnp.asarray(self.valid),
             max_new=self.M, cell=self.min_dist,

@@ -2,8 +2,8 @@
 
 The TPU-native equivalent of the reference's three-node roslaunch graph
 (vins_estimator/launch/euroc.launch wiring feature_tracker, vins_estimator,
-pose_graph over topics).  Topics become direct calls; the节点-level behaviors
-live here:
+pose_graph over topics).  Topics become direct calls; the node-level
+behaviors live here:
 
   * frequency controller: track every frame, publish features at FREQ Hz
     (feature_tracker_node.cpp:51-62),
@@ -32,14 +32,26 @@ from .loop.pose_graph import (KeyFrame, PoseGraph, describe_window_points,
                               extract_keyframe_features)
 
 
+def circular_fov_mask(h: int, w: int, margin: int = 4) -> np.ndarray:
+    """Circular field-of-view mask for fisheye lenses — the built-in analog
+    of the reference's fisheye_mask.jpg (feature_tracker/src/
+    feature_tracker_node.cpp:216-229): True inside the image circle."""
+    yy, xx = np.mgrid[:h, :w]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    r = min(h, w) / 2.0 - margin
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
 class Pipeline:
     def __init__(self, cfg: VinsConfig, camera, imu_buf_len: int = 256,
                  loop_closure: bool | None = None, dtype=jnp.float64):
         self.cfg = cfg
         self.camera = camera
+        mask = circular_fov_mask(cfg.image_height, cfg.image_width) if cfg.fisheye else None
         self.tracker = FeatureTracker(
             camera, max_cnt=cfg.max_cnt, min_dist=cfg.min_dist,
             f_threshold=cfg.f_threshold, equalize=cfg.equalize, focal=cfg.focal,
+            mask=mask,
         )
         self.estimator = Estimator(cfg, imu_buf_len=imu_buf_len, dtype=dtype)
         self.loop_closure = cfg.loop_closure if loop_closure is None else loop_closure
