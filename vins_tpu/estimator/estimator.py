@@ -297,6 +297,74 @@ class Estimator:
         self.last_p = self.p[self.W].copy()
         return True
 
+    def set_relo_frame(self, stamp: float, match_ids, match_pts_norm):
+        """Fast relocalization (Estimator::setReloFrame, estimator.cpp:
+        1128-1146 + the relo block of optimization(), :769-801): given the
+        loop match — feature ids + their normalized 2D coordinates in the OLD
+        keyframe — refine the old keyframe's pose in the *current* VIO world
+        against this window's landmarks and return the refined relative pose
+        (relo_relative_t/q/yaw, :597-618) for PoseGraph.update_keyframe_loop.
+
+        Returns dict {ok, rel_t, rel_q, rel_yaw, n_inliers} or None when the
+        stamp is no longer in the window / too few id matches."""
+        from ..loop.relocalize import refine_relo_pose, relative_pose_4dof
+
+        if self.solver_flag != NON_LINEAR:
+            return None
+        cols = np.nonzero(np.abs(self.timestamps - stamp) < 1e-6)[0]
+        if len(cols) == 0:
+            return None
+        col = int(cols[-1])
+
+        # window landmarks matched by feature id (estimator.cpp:778-795)
+        slot_of = {int(i): k for k, i in enumerate(self.db.ids) if i >= 0}
+        L = self.L
+        X = np.zeros((L, 3))
+        x_old = np.zeros((L, 2))
+        ok_m = np.zeros(L, bool)
+        Ric = np.asarray(lie.q2R(jnp.asarray(self.qic)))
+        n = 0
+        for fid, pt in zip(np.asarray(match_ids), np.asarray(match_pts_norm)):
+            k = slot_of.get(int(fid))
+            if k is None or self.db.inv_depth[k] <= 0:
+                continue
+            a = int(self.db.anchor[k])
+            ray = np.append(self.db.pt[k, a], 1.0) / self.db.inv_depth[k]
+            Ra = np.asarray(lie.q2R(jnp.asarray(self.q[a])))
+            X[n] = Ra @ (Ric @ ray + self.tic) + self.p[a]
+            x_old[n] = pt[:2]
+            ok_m[n] = True
+            n += 1
+        if n < 20:
+            return None
+
+        # init: the matched window frame's camera pose (vector2double inits
+        # relo_Pose from para_Pose[relo_frame_local_index])
+        Rb = np.asarray(lie.q2R(jnp.asarray(self.q[col])))
+        p0 = self.p[col] + Rb @ self.tic
+        q0 = lie.qmul(jnp.asarray(self.q[col]), jnp.asarray(self.qic))
+
+        res = refine_relo_pose(
+            jnp.asarray(X, self.dtype), jnp.asarray(x_old, self.dtype),
+            jnp.asarray(ok_m), jnp.asarray(p0, self.dtype), q0,
+        )
+        if not bool(res.ok):
+            return None
+        # old keyframe BODY pose in the current world
+        q_old_b = lie.qmul(res.q, lie.qconj(jnp.asarray(self.qic)))
+        p_old_b = np.asarray(res.p) - np.asarray(lie.q2R(q_old_b)) @ self.tic
+        rel_t, rel_q, rel_yaw = relative_pose_4dof(
+            jnp.asarray(p_old_b, self.dtype), q_old_b,
+            jnp.asarray(self.p[col], self.dtype), jnp.asarray(self.q[col], self.dtype),
+        )
+        return {
+            "ok": True,
+            "rel_t": np.asarray(rel_t),
+            "rel_q": np.asarray(rel_q),
+            "rel_yaw": float(rel_yaw),
+            "n_inliers": int(res.n_inliers),
+        }
+
     def _calibrate_extrinsic(self, col: int):
         """ESTIMATE_EXTRINSIC == 2 path (estimator.cpp:140-156): feed the
         camera/IMU pair rotations of (col-1, col) and accept once excited."""

@@ -41,7 +41,7 @@ def _yawR(yaw_deg):
 class KeyFrame:
     def __init__(self, index, stamp, p_vio, q_vio, points_3d, points_2d_norm,
                  window_desc, window_valid, fast_pts_norm, fast_desc, fast_valid,
-                 sequence=1):
+                 sequence=1, point_ids=None):
         self.index = index
         self.stamp = stamp
         self.sequence = sequence
@@ -51,6 +51,12 @@ class KeyFrame:
         self.q = self.q_vio.copy()
         self.points_3d = np.array(points_3d, float)  # [Lw,3] world
         self.points_2d = np.array(points_2d_norm, float)  # [Lw,2]
+        # estimator feature ids of the window points (for fast relocalization
+        # feedback — the id channel of the reference's match_points message)
+        self.point_ids = (
+            np.full(len(self.points_3d), -1, np.int64)
+            if point_ids is None else np.asarray(point_ids, np.int64)
+        )
         self.window_desc = window_desc  # [Lw,256] ±1 device
         self.window_valid = window_valid  # [Lw]
         self.fast_pts = fast_pts_norm  # [P,2] normalized coords (device)
@@ -193,6 +199,19 @@ class PoseGraph:
         if not bool(ok):
             return False
 
+        # fast-relocalization feedback payload: matched (feature id, old-kf
+        # normalized point) pairs — the reference's /pose_graph/match_points
+        # message (keyframe.cpp:488-514)
+        inl = np.array(res.inliers)
+        old_pts = np.array(old.fast_pts)[midx]
+        self.last_match = {
+            "kf_index": kf.index,
+            "stamp": kf.stamp,
+            "old_index": old_idx,
+            "ids": kf.point_ids[inl],
+            "pts_old": old_pts[inl],
+        }
+
         kf.loop_index = old_idx
         kf.loop_rel_t = np.array(rel_t)
         kf.loop_rel_yaw = float(rel_yaw)
@@ -258,6 +277,39 @@ class PoseGraph:
         for k in self.keyframes[cur + 1 :]:
             k.p = self.r_drift @ k.p_vio + self.t_drift
             k.q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(k.q_vio)))
+
+    def update_keyframe_loop(self, index: int, rel_t, rel_q, rel_yaw: float):
+        """Adopt a BA-refined loop edge from the estimator's fast-
+        relocalization solve (updateKeyFrameLoop, pose_graph.cpp:889-923):
+        overwrite the keyframe's loop_info and update the drift correction
+        immediately (no wait for the next 4-DoF optimization pass)."""
+        kf = self.keyframes[index]
+        if kf.loop_index < 0:
+            return False
+        if abs(rel_yaw) > 30.0 or np.linalg.norm(rel_t) > 20.0:
+            return False  # same sanity gate as the reference (:897-899)
+        kf.loop_rel_t = np.asarray(rel_t, float)
+        kf.loop_rel_q = np.asarray(rel_q, float)
+        kf.loop_rel_yaw = float(rel_yaw)
+        g = self._graph
+        self._graph = g._replace(
+            loop_to=g.loop_to.at[index].set(kf.loop_index),
+            loop_t=g.loop_t.at[index].set(jnp.asarray(kf.loop_rel_t)),
+            loop_yaw=g.loop_yaw.at[index].set(kf.loop_rel_yaw),
+        )
+        # immediate drift update (:901-922): place this keyframe where the
+        # loop edge says it should be, relative to the old keyframe's
+        # pose-graph pose
+        old = self.keyframes[kf.loop_index]
+        R_old = np.asarray(lie.q2R(jnp.asarray(old.q)))
+        w_P_cur = old.p + R_old @ kf.loop_rel_t
+        yaw_cur = _ypr(old.q)[0] + kf.loop_rel_yaw
+        shift_r = _yawR(yaw_cur - _ypr(kf.q_vio)[0])
+        self.r_drift = shift_r
+        self.t_drift = w_P_cur - shift_r @ kf.p_vio
+        # (the next 4-DoF optimization pass refines the whole graph with the
+        # updated edge; the reference likewise defers to its 2 s PGO thread)
+        return True
 
     def _grow(self):
         self.K *= 2

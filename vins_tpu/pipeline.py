@@ -141,7 +141,7 @@ class Pipeline:
         # landmarks observed in that frame with solved depth
         m = db.used & db.valid[:, kf_frame] & (db.inv_depth > 0)
         anchors = db.anchor
-        pts3d, pts2d, uv = [], [], []
+        pts3d, pts2d, uv, fids = [], [], [], []
         for k in np.nonzero(m)[0]:
             a = anchors[k]
             d = 1.0 / db.inv_depth[k]
@@ -152,6 +152,7 @@ class Pipeline:
             pts3d.append(Xw)
             pts2d.append(db.pt[k, kf_frame])
             uv.append(db.uv[k, kf_frame])
+            fids.append(int(db.ids[k]))
         if len(pts3d) < 10 or self._last_img is None:
             return None
         pts3d = np.stack(pts3d)
@@ -165,10 +166,28 @@ class Pipeline:
             points_3d=pts3d, points_2d_norm=pts2d,
             window_desc=wdesc, window_valid=jnp.ones(len(pts3d), bool),
             fast_pts_norm=fpts, fast_desc=fdesc, fast_valid=fok,
-            sequence=self.sequence,
+            sequence=self.sequence, point_ids=np.asarray(fids),
         )
         res = self.pose_graph.add_keyframe(kf)
-        return res.get("loop")
+        loop = res.get("loop")
+        if loop is not None and self.cfg.fast_relocalization:
+            self._fast_relocalize()
+        return loop
+
+    def _fast_relocalize(self):
+        """Route the loop match back through the estimator for a BA-refined
+        loop edge (the reference's match_points → setReloFrame →
+        relo_relative_pose → updateKeyFrameLoop round trip)."""
+        match = getattr(self.pose_graph, "last_match", None)
+        if match is None:
+            return
+        relo = self.estimator.set_relo_frame(
+            match["stamp"], match["ids"], match["pts_old"]
+        )
+        if relo is not None and relo["ok"]:
+            self.pose_graph.update_keyframe_loop(
+                match["kf_index"], relo["rel_t"], relo["rel_q"], relo["rel_yaw"]
+            )
 
     # ---------------------------------------------------------------- admin
 
