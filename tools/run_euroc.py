@@ -57,7 +57,7 @@ def main():
 
     from vins_tpu.config import load_config
     from vins_tpu.core.cameras import camera_from_yaml
-    from vins_tpu.io.euroc import iter_measurements, load_cam_index, load_imu
+    from vins_tpu.io.euroc import load_cam_index, load_imu
     from vins_tpu.pipeline import Pipeline
 
     cfg = load_config(args.config)
@@ -66,12 +66,52 @@ def main():
 
     imu = load_imu(args.root)
     cidx = load_cam_index(args.root)
+
+    # Measurement alignment runs through the native C++ queue
+    # (native/measurement_queue.cc — the reference's estimator_node buffer
+    # runtime) fed by a producer thread, while a second thread prefetches
+    # and decodes images ahead of the estimator.
+    import queue as pyqueue
+    import threading
+
+    from vins_tpu.io.mq import MeasurementQueue
+
+    mq = MeasurementQueue()
+    imgq = pyqueue.Queue(maxsize=8)
+
+    def produce():
+        ki = 0
+        for k in range(len(imu.t)):
+            mq.push_imu(imu.t[k], imu.acc[k], imu.gyr[k])
+            while ki < len(cidx.t) and cidx.t[ki] + cfg.td <= imu.t[k]:
+                mq.push_feature(cidx.t[ki], payload=ki)
+                ki += 1
+        mq.close()
+
+    def prefetch():
+        for path in cidx.paths:
+            imgq.put(load_image(path))
+        imgq.put(None)
+
+    threading.Thread(target=produce, daemon=True).start()
+    threading.Thread(target=prefetch, daemon=True).start()
+
     n = 0
+    img_i = 0
     t0 = time.perf_counter()
-    for m in iter_measurements(imu, cidx, td=cfg.td):
+    while True:
+        m = mq.next(td=cfg.td)
+        if m is None:
+            break
         for k in range(len(m.imu_t)):
             pipe.process_imu(m.imu_t[k], m.imu_acc[k], m.imu_gyr[k])
-        img = load_image(m.image_path)
+        # the prefetch stream is index-aligned with cam frames; skip decoded
+        # images for frames the aligner dropped
+        while img_i < m.payload:
+            imgq.get()
+            img_i += 1
+        img = imgq.get()
+        img_i += 1
         out = pipe.process_image(img, m.t_img)
         n += 1
         if n % 100 == 0:

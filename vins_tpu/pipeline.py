@@ -30,6 +30,7 @@ from .estimator.propagator import ImuPropagator
 from .frontend.tracker import FeatureTracker
 from .loop.pose_graph import (KeyFrame, PoseGraph, describe_window_points,
                               extract_keyframe_features)
+from .utils.trace import Tracer
 
 
 def circular_fov_mask(h: int, w: int, margin: int = 4) -> np.ndarray:
@@ -69,6 +70,8 @@ class Pipeline:
         self.trajectory = []  # (t, p, q) VIO outputs
         self.trajectory_loop = []  # pose-graph-corrected outputs
         self.sequence = 1
+        # per-stage wall-clock stats (the reference's TicToc/printStatistics)
+        self.tracer = Tracer()
 
     # ------------------------------------------------------------------ IMU
 
@@ -98,16 +101,18 @@ class Pipeline:
             self._first_image_time = t
             self._pub_count = 0
 
-        feats = self.tracker.read_image(img, t, publish=publish)
+        with self.tracer.span("frontend"):
+            feats = self.tracker.read_image(img, t, publish=publish)
         out = {"published": publish}
         if not publish or feats is None:
             return out
         self._pub_count += 1
         self._last_img = img
 
-        ev = self.estimator.process_image(
-            feats.ids, feats.pts, feats.vel, feats.uv, t,
-        )
+        with self.tracer.span("estimator"):
+            ev = self.estimator.process_image(
+                feats.ids, feats.pts, feats.vel, feats.uv, t,
+            )
         out.update(ev)
 
         est = self.estimator
@@ -120,7 +125,8 @@ class Pipeline:
                 pc, qc = self.pose_graph.correct_pose(p, q, self.sequence)
                 self.trajectory_loop.append((t, pc, qc))
             if ev.get("marg_old") and self.pose_graph is not None:
-                loop = self._handoff_keyframe()
+                with self.tracer.span("pose_graph"):
+                    loop = self._handoff_keyframe()
                 if loop is not None:
                     out["loop"] = loop
         return out
