@@ -128,7 +128,7 @@ def _midpoint_step(carry, inp, ba, bg, Q):
     return out, None
 
 
-def preintegrate(
+def preintegrate_sequential(
     dt: jax.Array,  # [N] gaps between consecutive samples
     acc: jax.Array,  # [N+1, 3] boundary accelerometer samples
     gyr: jax.Array,  # [N+1, 3] boundary gyroscope samples
@@ -137,8 +137,9 @@ def preintegrate(
     noise: ImuNoise = ImuNoise(),
     mask: jax.Array | None = None,  # [N] 1 = real step, 0 = padding
 ) -> Preintegration:
-    """Integrate one interval; re-run with new biases to 'repropagate'
-    (integration_base.h:38-52 — same buffers, new linearization point)."""
+    """Reference implementation: serial `lax.scan` of the midpoint step —
+    the literal recurrence of integration_base.h:54-128.  Kept as the
+    ground truth the parallel version is property-tested against."""
     dtype = acc.dtype
     n = dt.shape[0]
     if mask is None:
@@ -157,6 +158,126 @@ def preintegrate(
         lambda c, x: _midpoint_step(c, x, ba, bg, Q), init, xs
     )
     dt_sum = jnp.sum(dt * mask.astype(dtype))
+    sqrt_info = _sqrt_info(P)
+    return Preintegration(dp, dq, dv, J, P, sqrt_info, dt_sum, ba, bg)
+
+
+def preintegrate(
+    dt: jax.Array,  # [N] gaps between consecutive samples
+    acc: jax.Array,  # [N+1, 3] boundary accelerometer samples
+    gyr: jax.Array,  # [N+1, 3] boundary gyroscope samples
+    ba: jax.Array,  # [3] linearization accel bias
+    bg: jax.Array,  # [3] linearization gyro bias
+    noise: ImuNoise = ImuNoise(),
+    mask: jax.Array | None = None,  # [N] 1 = real step, 0 = padding
+) -> Preintegration:
+    """Integrate one interval; re-run with new biases to 'repropagate'
+    (integration_base.h:38-52 — same buffers, new linearization point).
+
+    Parallel-prefix formulation (the TPU-native redesign of the serial
+    midpoint recurrence): the N-step loop is latency-bound on TPU, so it is
+    decomposed into associative pieces, each log₂(N) deep:
+
+      1. per-step rotation increments δq_k = deltaQ(w_k dt_k) — elementwise;
+      2. prefix rotations dq_k = δq_0 ⊗ … ⊗ δq_{k-1} — `associative_scan`
+         of quaternion products;
+      3. midpoint accelerations a_k = ½(R_k a0_k + R_{k+1} a1_k) — elementwise
+         once the prefixes exist; Δv/Δp are then plain cumulative sums
+         (Δp needs the *exclusive* velocity prefix);
+      4. the coupled Jacobian/covariance propagation J←FJ, P←FPFᵀ+VQVᵀ is an
+         associative monoid on pairs (A, P):
+            (A₁,P₁) ∘ (A₂,P₂) = (A₂A₁, A₂P₁A₂ᵀ + P₂)
+         so the final (J, P) is one `associative_scan` of batched 15×15
+         matmuls (MXU) instead of N serial small matmuls.
+
+    Masked padding steps use dt←0, which makes every piece an exact identity
+    (δq = 1, F = I, V = 0, zero cumsum contribution) — no `where` plumbing.
+    Property-tested against `preintegrate_sequential` (tests/
+    test_preintegration.py)."""
+    dtype = acc.dtype
+    n = dt.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=dtype)
+    Q = noise.Q18(dtype)
+
+    dte = dt * mask.astype(dtype)  # [N] masked steps are exact identities
+    a0 = acc[:-1] - ba  # [N,3]
+    a1 = acc[1:] - ba
+    w = 0.5 * (gyr[:-1] + gyr[1:]) - bg  # [N,3]
+
+    # 2. prefix rotations (inclusive scan of increments, shifted to get the
+    # rotation *at* each step boundary: R_0 = I, R_k = Πδq_{<k})
+    dq_inc = jax.vmap(lie.deltaQ)(w * dte[:, None])  # [N,4]
+    dq_incl = jax.lax.associative_scan(jax.vmap(lie.qmul), dq_inc)  # [N,4]
+    dq_incl = dq_incl / jnp.linalg.norm(dq_incl, axis=-1, keepdims=True)
+    q_id = jnp.asarray([1.0, 0, 0, 0], dtype)[None]
+    q_pre = jnp.concatenate([q_id, dq_incl[:-1]], axis=0)  # [N,4] R_k
+    q_post = dq_incl  # [N,4] R_{k+1}
+    R_pre = jax.vmap(lie.q2R)(q_pre)
+    R_post = jax.vmap(lie.q2R)(q_post)
+
+    # 3. midpoint accelerations → Δv, Δp as cumsums
+    Ra0 = jnp.einsum("nij,nj->ni", R_pre, a0)
+    Ra1 = jnp.einsum("nij,nj->ni", R_post, a1)
+    a_mid = 0.5 * (Ra0 + Ra1)  # [N,3]
+    dv_steps = a_mid * dte[:, None]
+    dv_incl = jnp.cumsum(dv_steps, axis=0)
+    dv_pre = dv_incl - dv_steps  # exclusive prefix: dv at step start
+    dp_incl = jnp.cumsum(
+        dv_pre * dte[:, None] + 0.5 * a_mid * dte[:, None] ** 2, axis=0
+    )
+    dp, dq, dv = dp_incl[-1], q_post[-1], dv_incl[-1]
+
+    # 4. batched F/V build (elementwise in k), then one associative reduction
+    I3 = jnp.eye(3, dtype=dtype)
+    Z = jnp.zeros((n, 3, 3), dtype)
+    S0 = jax.vmap(lie.skew)(a0)
+    S1 = jax.vmap(lie.skew)(a1)
+    Sw = jax.vmap(lie.skew)(w)
+    d1 = dte[:, None, None]
+    d2 = (dte * dte)[:, None, None]
+    Rw = I3[None] - Sw * d1
+    R1S1 = R_post @ S1
+    dA_dth = -0.5 * (R_pre @ S0 + R1S1 @ Rw)
+    dA_dba = -0.5 * (R_pre + R_post)
+    dA_dbg = 0.5 * R1S1 * d1
+    eyeN = jnp.broadcast_to(I3, (n, 3, 3))
+
+    def blockrows(rows):
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=-1) for r in rows], axis=-2
+        )
+
+    F = blockrows([
+        [eyeN, dA_dth * 0.5 * d2, eyeN * d1, dA_dba * 0.5 * d2, dA_dbg * 0.5 * d2],
+        [Z, Rw, Z, Z, -eyeN * d1],
+        [Z, dA_dth * d1, eyeN, dA_dba * d1, dA_dbg * d1],
+        [Z, Z, Z, eyeN, Z],
+        [Z, Z, Z, Z, eyeN],
+    ])  # [N,15,15]
+    half_R1S1dt = -0.25 * R1S1 * d1
+    V = blockrows([
+        [0.25 * R_pre * d2, half_R1S1dt * 0.5 * d2, 0.25 * R_post * d2, half_R1S1dt * 0.5 * d2, Z, Z],
+        [Z, 0.5 * eyeN * d1, Z, 0.5 * eyeN * d1, Z, Z],
+        [0.5 * R_pre * d1, half_R1S1dt * d1, 0.5 * R_post * d1, half_R1S1dt * d1, Z, Z],
+        [Z, Z, Z, Z, eyeN * d1, Z],
+        [Z, Z, Z, Z, Z, eyeN * d1],
+    ])  # [N,15,18]
+    VQVt = jnp.einsum("nij,jk,nlk->nil", V, Q, V)
+
+    def compose(a, b):
+        """(A₁,P₁) then (A₂,P₂) — associative."""
+        A1, P1 = a
+        A2, P2 = b
+        return (
+            jnp.einsum("...ij,...jk->...ik", A2, A1),
+            jnp.einsum("...ij,...jk,...lk->...il", A2, P1, A2) + P2,
+        )
+
+    A_scan, P_scan = jax.lax.associative_scan(compose, (F, VQVt))
+    J, P = A_scan[-1], P_scan[-1]
+
+    dt_sum = jnp.sum(dte)
     sqrt_info = _sqrt_info(P)
     return Preintegration(dp, dq, dv, J, P, sqrt_info, dt_sum, ba, bg)
 
