@@ -7,9 +7,11 @@
 // Alignment contract (kept bit-identical to the Python fallback
 // vins_tpu/io/euroc.py::iter_measurements so the two can be
 // differential-tested): for each feature frame at t_img, emit every buffered
-// IMU sample with t <= t_img + td, then retain the last emitted sample as
-// the opening boundary of the next interval; a frame older than the whole
-// IMU buffer is dropped.
+// IMU sample with t <= t_img + td; when the last such sample is strictly
+// before t_img + td, append a row linearly interpolated at exactly
+// t_img + td (the straddling-sample split, estimator_node.cpp:246-264).
+// The final emitted row is retained as the opening boundary of the next
+// interval; a frame older than the whole IMU buffer is dropped.
 //
 // Build: make -C native  (-> libvinsio.so, shared with the PNG decoder).
 #include <condition_variable>
@@ -149,7 +151,9 @@ long vmq_next(void* h, double td, double* imu_out, long max_n, double* t_img,
         // interval complete: emit samples with t <= t_end
         long n = 0;
         while (n < (long)q->imu.size() && q->imu[n].t <= t_end) n++;
-        if (n > max_n) return -(2 + n);
+        const bool interp = q->imu[n - 1].t < t_end;
+        const long n_out = n + (interp ? 1 : 0);
+        if (n_out > max_n) return -(2 + n_out);
         for (long k = 0; k < n; k++) {
           const ImuSample& s = q->imu[k];
           double* row = imu_out + 7 * k;
@@ -157,14 +161,35 @@ long vmq_next(void* h, double td, double* imu_out, long max_n, double* t_img,
           std::memcpy(row + 1, s.acc, 3 * sizeof(double));
           std::memcpy(row + 4, s.gyr, 3 * sizeof(double));
         }
+        if (interp) {
+          // split the straddling sample: linear interpolation at exactly
+          // t_end (estimator_node.cpp:246-264)
+          const ImuSample& s0 = q->imu[n - 1];
+          const ImuSample& s1 = q->imu[n];
+          const double w = (t_end - s0.t) / (s1.t - s0.t);
+          ImuSample si;
+          si.t = t_end;
+          for (int j = 0; j < 3; j++) {
+            si.acc[j] = s0.acc[j] + w * (s1.acc[j] - s0.acc[j]);
+            si.gyr[j] = s0.gyr[j] + w * (s1.gyr[j] - s0.gyr[j]);
+          }
+          double* row = imu_out + 7 * n;
+          row[0] = si.t;
+          std::memcpy(row + 1, si.acc, 3 * sizeof(double));
+          std::memcpy(row + 4, si.gyr, 3 * sizeof(double));
+          // boundary = the interpolated sample at t_end
+          for (long k = 0; k < n; k++) q->imu.pop_front();
+          q->imu.push_front(si);
+        } else {
+          // retain the last emitted sample as the next interval's boundary
+          for (long k = 0; k + 1 < n; k++) q->imu.pop_front();
+        }
         *t_img = f.t;
         *payload = f.payload;
         q->feat.pop_front();
-        // retain the last emitted sample as the next interval's boundary
-        for (long k = 0; k + 1 < n; k++) q->imu.pop_front();
         q->first = false;
         q->cv.notify_all();
-        return n;
+        return n_out;
       }
       // else: need more IMU past t_end — fall through to wait
     }

@@ -10,7 +10,7 @@ from vins_tpu.core import lie
 from vins_tpu.loop.brief import (brief_describe, fast_detect, hamming_matrix,
                                  match_descriptors, smooth_for_brief)
 from vins_tpu.loop.pose_graph import KeyFrame, PoseGraph
-from vins_tpu.loop.posegraph import GraphArrays, optimize_4dof, drift_from
+from vins_tpu.loop.optimize4dof import GraphArrays, optimize_4dof, drift_from
 from vins_tpu.loop.retrieval import KeyframeDB, pick_loop_candidate
 from vins_tpu.loop.verify import pnp_ransac
 

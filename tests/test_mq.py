@@ -76,7 +76,8 @@ def test_pre_imu_frames_skipped(native):
     out = _drain(q)
     assert len(out) == 1
     assert out[0].payload == 7
-    np.testing.assert_allclose(out[0].imu_t, [1.0, 1.1])
+    # real samples <= t_img plus the interpolated split at exactly t_img
+    np.testing.assert_allclose(out[0].imu_t, [1.0, 1.1, 1.15])
 
 
 @pytest.mark.parametrize("native", [False, True])
@@ -139,3 +140,27 @@ def test_restart_clears(native):
     assert s["imu_len"] == 0 and s["feat_len"] == 0
     # after restart, older timestamps are accepted again
     assert q.push_imu(0.1, np.zeros(3), np.zeros(3))
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_interval_ends_exactly_at_frame_time(native):
+    """The straddling IMU sample is split by linear interpolation at exactly
+    t_img + td (estimator_node.cpp:246-264)."""
+    if native and _native() is None:
+        pytest.skip("native lib not built")
+    q = MeasurementQueue(native=native)
+    # samples at 0.0, 0.1, ... with acc = t (linear -> interp is exact)
+    for t in np.arange(0.0, 1.0, 0.1):
+        q.push_imu(t, np.full(3, t), np.full(3, 2 * t))
+    td = 0.003
+    q.push_feature(0.244 - td)
+    q.push_feature(0.531 - td)
+    q.close()
+    a, b = _drain(q, td=td)
+    np.testing.assert_allclose(a.imu_t[-1], 0.244)
+    np.testing.assert_allclose(a.imu_acc[-1], 0.244)   # linear signal -> exact
+    np.testing.assert_allclose(a.imu_gyr[-1], 0.488)
+    # the interpolated row is the next interval's opening boundary
+    np.testing.assert_allclose(b.imu_t[0], 0.244)
+    np.testing.assert_allclose(b.imu_acc[0], a.imu_acc[-1])
+    np.testing.assert_allclose(b.imu_t[-1], 0.531)

@@ -97,34 +97,55 @@ class Measurement(NamedTuple):
 def iter_measurements(
     imu: ImuData, cam: CamIndex, td: float = 0.0, start: float | None = None,
 ) -> Iterator[Measurement]:
-    """Time-align camera frames with IMU intervals.  Linear interpolation of
-    the boundary sample at the image timestamp is the consumer's job
-    (estimator_node.cpp:246-264) — we hand over raw samples per interval."""
+    """Time-align camera frames with IMU intervals.  The straddling sample is
+    split by linear interpolation so every interval ends exactly at
+    t_img + td (estimator_node.cpp:246-264); the interpolated row doubles as
+    the next interval's opening boundary."""
     i = 0
     n = len(imu.t)
     first = True
+    bound: tuple | None = None  # interp boundary row carried between frames
     for k in range(len(cam.t)):
-        t_img = cam.t[k] + td
+        t_end = cam.t[k] + td
         if start is not None and cam.t[k] < start:
             continue
         j = i
-        while j < n and imu.t[j] <= t_img:
+        while j < n and imu.t[j] <= t_end:
             j += 1
         if j >= n:
             return
         if first:
             # skip frames before the first IMU sample
-            if imu.t[i] > t_img:
+            if imu.t[i] > t_end:
                 continue
             first = False
+        ts = list(imu.t[i:j])
+        accs = list(imu.acc[i:j])
+        gyrs = list(imu.gyr[i:j])
+        if bound is not None:
+            ts.insert(0, bound[0]); accs.insert(0, bound[1]); gyrs.insert(0, bound[2])
+        if not ts or ts[-1] < t_end:
+            # split the straddling sample at exactly t_end
+            if ts:
+                t0, a0, g0 = ts[-1], accs[-1], gyrs[-1]
+            else:  # interval fully inside one IMU step: interp from boundary
+                t0, a0, g0 = bound
+            w = (t_end - t0) / (imu.t[j] - t0)
+            ai = a0 + w * (imu.acc[j] - a0)
+            gi = g0 + w * (imu.gyr[j] - g0)
+            ts.append(t_end); accs.append(ai); gyrs.append(gi)
+            bound = (t_end, ai, gi)
+            i = j
+        else:
+            bound = None
+            i = j - 1  # keep one boundary sample for the next interval
         yield Measurement(
             t_img=float(cam.t[k]),
             image_path=cam.paths[k],
-            imu_t=imu.t[i:j].copy(),
-            imu_acc=imu.acc[i:j].copy(),
-            imu_gyr=imu.gyr[i:j].copy(),
+            imu_t=np.asarray(ts, float),
+            imu_acc=np.stack(accs).astype(float),
+            imu_gyr=np.stack(gyrs).astype(float),
         )
-        i = max(j - 1, i)  # keep one boundary sample for the next interval
 
 
 def write_tum(path: str, t: np.ndarray, p: np.ndarray, q_wxyz: np.ndarray):

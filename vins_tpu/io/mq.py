@@ -9,9 +9,13 @@ and the estimator thread can run concurrently; a pure-Python fallback with
 identical semantics takes over when the library isn't built.
 
 Alignment contract (shared with io/euroc.py::iter_measurements): for a frame
-at t_img, deliver every IMU sample with t <= t_img + td and retain the last
-one as the next interval's opening boundary; frames older than the whole IMU
-buffer are dropped.
+at t_img, deliver every IMU sample with t <= t_img + td; when the last real
+sample lands strictly before t_img + td, append a row linearly interpolated
+at exactly t_img + td (the straddling-sample split of
+estimator_node.cpp:246-264) so every interval ends at the frame time.  The
+final delivered row is retained as the next interval's opening boundary, so
+consecutive intervals tile the timeline with no gap; frames older than the
+whole IMU buffer are dropped.
 """
 from __future__ import annotations
 
@@ -35,6 +39,10 @@ def _native():
                         "libvinsio.so")
     try:
         lib = ctypes.CDLL(os.path.abspath(path))
+    except OSError:
+        _LIB = None  # not built: Python fallback, silently
+        return _LIB
+    try:
         d = ctypes.c_double
         dp = ctypes.POINTER(d)
         lib.vmq_create.restype = ctypes.c_void_p
@@ -48,11 +56,13 @@ def _native():
         lib.vmq_next.restype = ctypes.c_long
         lib.vmq_next.argtypes = [ctypes.c_void_p, d, dp, ctypes.c_long,
                                  dp, ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
-        # symbol presence check (an old libvinsio.so may predate the queue)
-        _ = lib.vmq_create
         _LIB = lib
-    except (OSError, AttributeError):
-        _LIB = None
+    except AttributeError as e:
+        # the .so exists but predates the queue symbols: loud, not silent —
+        # a stale binary must never quietly downgrade the runtime
+        raise RuntimeError(
+            f"stale native/libvinsio.so (missing {e}); rebuild with "
+            "`make -C native`") from e
     return _LIB
 
 
@@ -188,9 +198,21 @@ class _PyQueue:
                         n = 0
                         while n < len(self._imu) and self._imu[n][0] <= t_end:
                             n += 1
-                        rows = self._imu[:n]
+                        rows = list(self._imu[:n])
+                        if rows[-1][0] < t_end:
+                            # split the straddling sample: linear interp at
+                            # exactly t_end (estimator_node.cpp:246-264)
+                            t0, a0, g0 = self._imu[n - 1]
+                            t1, a1, g1 = self._imu[n]
+                            w = (t_end - t0) / (t1 - t0)
+                            interp = (t_end, a0 + w * (a1 - a0),
+                                      g0 + w * (g1 - g0))
+                            rows.append(interp)
+                            del self._imu[:n]
+                            self._imu.insert(0, interp)
+                        else:
+                            del self._imu[: n - 1]
                         self._feat.pop(0)
-                        del self._imu[: n - 1]
                         self._first = False
                         self._cv.notify_all()
                         return Aligned(

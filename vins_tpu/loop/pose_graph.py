@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core import lie
 from .brief import brief_describe, fast_detect, match_descriptors, smooth_for_brief
-from .posegraph import GraphArrays, drift_from, optimize_4dof
+from .optimize4dof import GraphArrays, drift_from, optimize_4dof
 from .retrieval import KeyframeDB, pick_loop_candidate
 from .verify import pnp_ransac, relative_check
 

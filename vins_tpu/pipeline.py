@@ -109,9 +109,19 @@ class Pipeline:
         self._pub_count += 1
         self._last_img = img
 
+        # rolling-shutter per-observation time offset: a feature on pixel row
+        # r was captured TR·(r/ROW − ½) after the nominal (middle-row) frame
+        # time (projection_td_factor.cpp:18,50-52: TR/ROW·(row − ROW/2)); the
+        # solver's correction is pt − (td − toff)·vel, so toff = −offset.
+        toffs = 0.0
+        if self.cfg.rolling_shutter and self.cfg.rolling_shutter_tr > 0:
+            toffs = -self.cfg.rolling_shutter_tr * (
+                np.asarray(feats.uv)[:, 1] / self.cfg.image_height - 0.5
+            )
+
         with self.tracer.span("estimator"):
             ev = self.estimator.process_image(
-                feats.ids, feats.pts, feats.vel, feats.uv, t,
+                feats.ids, feats.pts, feats.vel, feats.uv, t, toffs=toffs,
             )
         out.update(ev)
 
