@@ -11,6 +11,7 @@ from vins_tpu.estimator.estimator import NON_LINEAR, Estimator
 from vins_tpu.sim.driver import SimRun, SyntheticDriver, ate_rmse
 
 
+from vins_tpu.sim.synthetic import Trajectory
 from vins_tpu.sim.window import R_IC_FORWARD
 
 SIM_TIC = (0.06, -0.01, 0.02)
@@ -85,3 +86,45 @@ def test_failure_recovery():
         est.process_image(np.array([], np.int64), np.zeros((0, 2)),
                           np.zeros((0, 2)), np.zeros((0, 2)), t + 0.1 * k)
     assert est.solver_flag == 0  # rebooted to INITIAL
+
+
+def test_imu_overflow_guard_forces_keyframe():
+    """MARGIN_SECOND_NEW interval merging must never silently truncate the
+    static IMU buffer (the reference's vectors are unbounded,
+    integration_base.h:205-207): when the merge would overflow, the frame is
+    forced to be a keyframe instead."""
+    est = Estimator(make_cfg(), imu_buf_len=16)
+    est.frame_count = est.W
+    est.imu_n[est.W - 2] = 10
+    est.imu_n[est.W - 1] = 9
+    assert est._overflow_guard()          # 10 + 9 > 16 -> force MARGIN_OLD
+    est.imu_n[est.W - 1] = 5
+    assert not est._overflow_guard()      # fits: parallax rules decide
+    est.frame_count = 3                    # window still filling: no merge
+    est.imu_n[est.W - 1] = 99
+    assert not est._overflow_guard()
+
+
+def test_imu_overflow_counted_and_warned():
+    est = Estimator(make_cfg(), imu_buf_len=4)
+    est.frame_count = 1
+    with pytest.warns(RuntimeWarning):
+        for _ in range(8):
+            est.process_imu(0.005, np.array([0.0, 0, 9.81]), np.zeros(3))
+    assert est.imu_overflow > 0
+    assert est.imu_n[0] == 4  # buffer holds exactly N, newest dropped loudly
+
+
+def test_hover_low_parallax_stays_accurate():
+    """A hover segment (near-zero parallax -> MARGIN_SECOND_NEW dominates)
+    with a small IMU buffer: the overflow guard must keep preintegration
+    exact (no truncated samples) and the estimate accurate."""
+    est = Estimator(make_cfg(), imu_buf_len=32)
+    # 20 samples/frame at 200 Hz IMU, 10 Hz frames: two merges overflow 32
+    slow = Trajectory.figure8(scale=0.02, period=40.0)  # ~static scene
+    driver = SyntheticDriver(imu_hz=200.0, frame_hz=10.0, g_norm=9.81,
+                             traj=slow)
+    run = driver.run(est, n_frames=36)
+    assert est.imu_overflow == 0
+    # every stored interval fits the buffer
+    assert est.imu_n.max() <= 32

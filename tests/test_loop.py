@@ -251,3 +251,39 @@ def test_pose_graph_save_load(tmp_path):
                               sequence=1)
     out = pg2.add_keyframe(kf)
     assert out["loop"] is not None
+
+
+def test_keyframe_db_eviction_preserves_indices_and_recall():
+    """Past capacity the DB halves (every other old entry dropped); the
+    slot→keyframe-index map must keep query results pointing at the RIGHT
+    keyframes, and a revisit of a surviving keyframe must still rank first
+    (the reference caps its map at ~2000 kf, tro p.11)."""
+    import jax
+
+    from vins_tpu.loop.retrieval import KeyframeDB
+
+    cap, P = 32, 64
+    db = KeyframeDB(capacity=cap, pts_per_kf=P)
+    key = jax.random.PRNGKey(5)
+    descs = []
+    n_total = cap + 20  # forces one halving
+    for i in range(n_total):
+        key, sub = jax.random.split(key)
+        d = jnp.sign(jax.random.normal(sub, (P, 256))).astype(jnp.int8)
+        descs.append(d)
+        db.add(d, jnp.ones(P, bool), kf_index=i)
+    assert db.n_evicted > 0
+    assert db.count <= cap
+    # surviving ids are a subsequence of 0..n_total-1, newest always kept
+    ids = db.kf_index[: db.count]
+    assert (np.diff(ids) > 0).all()
+    assert ids[-1] == n_total - 1
+    # query with an exact copy of a SURVIVING old keyframe's descriptors:
+    # the returned external index must be that keyframe's id
+    target = int(ids[2])
+    idx, scores = db.query(descs[target], jnp.ones(P, bool),
+                           exclude_last=5, newest_kf=n_total - 1)
+    assert idx[0] == target
+    assert scores[0] > 0.9
+    # recent keyframes are excluded from retrieval
+    assert all(i <= n_total - 1 - 5 for i in idx if i >= 0)

@@ -50,6 +50,11 @@ class VinsConfig:
     # --- loop closure ---
     loop_closure: bool = True
     fast_relocalization: bool = False
+    # pose-graph ingestion gates (pose_graph_node.cpp:24 SKIP_FIRST_CNT;
+    # launch params skip_cnt / skip_dis, e.g. euroc.launch:19-20)
+    pg_skip_first_cnt: int = 10
+    pg_skip_cnt: int = 0
+    pg_skip_dis: float = 0.0
     # --- camera (parsed separately into a camera model) ---
     camera: dict | None = None
     extrinsic_R: tuple = ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))  # imu^R_cam
@@ -102,6 +107,11 @@ def load_config(path: str) -> VinsConfig:
         ("g_norm", "g_norm", float),
         ("loop_closure", "loop_closure", lambda v: bool(int(v))),
         ("fast_relocalization", "fast_relocalization", lambda v: bool(int(v))),
+        # pose-graph ingestion gates: roslaunch params in the reference
+        # (euroc.launch:19-20); plain yaml keys here
+        ("pg_skip_first_cnt", "pg_skip_first_cnt", int),
+        ("skip_cnt", "pg_skip_cnt", int),
+        ("skip_dis", "pg_skip_dis", float),
     ]:
         if raw.get(yaml_key) is not None:
             kw[field] = cast(raw[yaml_key])

@@ -92,6 +92,7 @@ class Estimator:
 
         self.acc_prev = np.zeros(3)
         self.gyr_prev = np.zeros(3)
+        self.imu_overflow = getattr(self, "imu_overflow", 0)
 
         self.prior = Prior.empty(self.layout, self.dtype)
         self.db.clear()
@@ -123,6 +124,17 @@ class Estimator:
                 self.imu_acc[k, n + 1] = acc
                 self.imu_gyr[k, n + 1] = gyr
                 self.imu_n[k] = n + 1
+            else:
+                # a single camera interval overflowed the static buffer
+                # (frame gap > N/imu_rate — the stream watchdog restarts at
+                # >1 s gaps long before this at sane rates).  Loud, never
+                # silent: dropped samples corrupt preintegration.
+                self.imu_overflow += 1
+                if self.imu_overflow == 1:
+                    import warnings
+                    warnings.warn(
+                        f"IMU interval buffer overflow (N={self.N}); "
+                        "sample dropped — raise imu_buf_len", RuntimeWarning)
 
             # midpoint propagation of the newest state (same math as the
             # preintegration step, world frame, g = +z·9.81 specific-force
@@ -149,6 +161,7 @@ class Estimator:
         dict with at least {"kind": ...}."""
         col = min(self.frame_count, self.W)
         marg_old = self.db.add_frame(ids, pts, vels, uvs, toffs, col)
+        marg_old = marg_old or self._overflow_guard()
         self.timestamps[col] = t
 
         if self.estimate_extrinsic == 2 and self.frame_count != 0:
@@ -208,6 +221,16 @@ class Estimator:
     def _imu_mask(self):
         return np.arange(self.N)[None, :] < self.imu_n[:, None]
 
+    def _overflow_guard(self) -> bool:
+        """Force MARGIN_OLD when MARGIN_SECOND_NEW's interval merge
+        (slideWindow :1070-1097) would overflow the static per-interval IMU
+        buffer — the reference's unbounded vectors (integration_base.h:
+        205-207) never truncate; neither may we, and a keyframe costs less
+        than corrupting preintegration in low-motion scenes."""
+        if self.frame_count < self.W:
+            return False
+        return int(self.imu_n[self.W - 2] + self.imu_n[self.W - 1]) > self.N
+
     def _solve_and_slide(self, marg_old: bool, failure_check: bool) -> dict:
         dt = self.dtype
         obs = self.db.to_obs(dt)
@@ -264,6 +287,11 @@ class Estimator:
             k_dst, k_src = W - 2, W - 1
             n0, n1 = int(self.imu_n[k_dst]), int(self.imu_n[k_src])
             take = min(n1, self.N - n0)
+            if take < n1:  # unreachable with _overflow_guard; never silent
+                self.imu_overflow += n1 - take
+                import warnings
+                warnings.warn("IMU merge truncation despite overflow guard",
+                              RuntimeWarning)
             if take > 0:
                 self.imu_dt[k_dst, n0 : n0 + take] = self.imu_dt[k_src, :take]
                 self.imu_acc[k_dst, n0 + 1 : n0 + take + 1] = self.imu_acc[k_src, 1 : take + 1]

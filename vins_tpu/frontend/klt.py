@@ -14,6 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import inv2x2
 from .image import bilinear, build_pyramid
 
 
@@ -50,7 +51,7 @@ def _lk_level(img0, img1, p0, g, valid, offs, iters, eps, min_eig_thresh):
         disc = jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
         min_eig = (0.5 * tr - disc) / offs.shape[0]
         ok = (min_eig > min_eig_thresh) & v
-        Ginv = jnp.linalg.inv(G + 1e-9 * jnp.eye(2, dtype=dtype))
+        Ginv = inv2x2(G + 1e-9 * jnp.eye(2, dtype=dtype))
 
         def body(i, gcur):
             pts1 = gcur[None, :] + offs

@@ -70,7 +70,12 @@ class FeatureTracker:
         self.track_cnt = np.zeros(max_cnt, np.int64)
         self.valid = np.zeros(max_cnt, bool)
         self.prev_img = None
-        self.prev_un = {}  # id -> normalized point (for velocity)
+        # previous published frame's normalized points, slot-aligned: a slot
+        # carries the same feature until it is freed/reassigned, so velocity
+        # is a masked array op — no per-feature dict (the reference's
+        # cur_un_pts_map, feature_tracker.cpp:212-257)
+        self.prev_un_pts = np.zeros((max_cnt, 2))
+        self.prev_ids = np.full(max_cnt, -1, np.int64)
         self.prev_time = None
         self.n_id = 0
         self._key = jax.random.PRNGKey(42)
@@ -108,14 +113,11 @@ class FeatureTracker:
         if self.valid.any():
             rays = np.array(self._lift(jnp.asarray(self.pts, self.dtype)))
             un = rays[:, :2] / rays[:, 2:3]
-        cur_un = {}
         vel = np.zeros((self.M, 2))
         dt = (t - self.prev_time) if self.prev_time is not None else None
-        for k in np.nonzero(self.valid)[0]:
-            fid = int(self.ids[k])
-            cur_un[fid] = un[k]
-            if dt and fid in self.prev_un:
-                vel[k] = (un[k] - self.prev_un[fid]) / dt
+        if dt:
+            same = self.valid & (self.prev_ids == self.ids) & (self.prev_ids >= 0)
+            vel[same] = (un[same] - self.prev_un_pts[same]) / dt
 
         self.prev_img = im
         self.prev_time = t
@@ -128,7 +130,10 @@ class FeatureTracker:
                 vel=vel[pub].copy(),
                 uv=self.pts[pub].copy(),
             )
-            self.prev_un = cur_un
+        # velocity is frame-to-frame (undistortedPoints runs every processed
+        # frame, feature_tracker.cpp:212-257), not publish-to-publish
+        self.prev_un_pts = un.copy()
+        self.prev_ids = np.where(self.valid, self.ids, -1)
         return out
 
     # ---------------------------------------------------------------- stages
@@ -143,7 +148,8 @@ class FeatureTracker:
         idx = np.nonzero(m)[0]
         cur = np.array(self._lift(jnp.asarray(self.pts[idx], self.dtype)))
         cur = cur[:, :2] / cur[:, 2:3]
-        prev = np.array([self.prev_un.get(int(self.ids[k]), (np.nan, np.nan)) for k in idx])
+        same = (self.prev_ids[idx] == self.ids[idx]) & (self.prev_ids[idx] >= 0)
+        prev = np.where(same[:, None], self.prev_un_pts[idx], np.nan)
         ok = ~np.isnan(prev[:, 0])
         if ok.sum() < 15:
             return
@@ -182,17 +188,19 @@ class FeatureTracker:
         ok = np.array(ok)
         free = np.nonzero(~self.valid)[0]
         take = min(n_free, int(ok.sum()))
-        for slot, j in zip(free[:take], np.nonzero(ok)[0][:take]):
-            self.pts[slot] = pts_new[j]
-            self.ids[slot] = self.n_id
-            self.n_id += 1
-            self.track_cnt[slot] = 1
-            self.valid[slot] = True
+        slots = free[:take]
+        js = np.nonzero(ok)[0][:take]
+        self.pts[slots] = pts_new[js]
+        self.ids[slots] = self.n_id + np.arange(take)
+        self.n_id += take
+        self.track_cnt[slots] = 1
+        self.valid[slots] = True
 
     def reset(self):
         self.valid[:] = False
         self.ids[:] = -1
         self.track_cnt[:] = 0
         self.prev_img = None
-        self.prev_un = {}
+        self.prev_un_pts[:] = 0
+        self.prev_ids[:] = -1
         self.prev_time = None

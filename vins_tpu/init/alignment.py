@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import spd_solve
 from ..imu.preintegration import Preintegration
 
 
@@ -37,7 +38,7 @@ def solve_gyro_bias(
     )
     A = jnp.einsum("kij,kil->jl", J, J)
     b = jnp.einsum("kij,ki->j", J, err)
-    return jnp.linalg.solve(A + 1e-10 * jnp.eye(3, dtype=A.dtype), b)
+    return spd_solve(A + 1e-10 * jnp.eye(3, dtype=A.dtype), b)
 
 
 class AlignResult(NamedTuple):
@@ -101,7 +102,7 @@ def linear_alignment(
     F = R_wb.shape[0]
     A, b = _build_lin_system(R_wb, p_cam, tic, pres)
     H = A.T @ A
-    x = jnp.linalg.solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype), A.T @ b)
+    x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype), A.T @ b)
     s = x[-1] / 100.0
     g = x[3 * F : 3 * F + 3]
     ok = (jnp.abs(jnp.linalg.norm(g) - g_norm) < 1.0) & (s > 0)
@@ -135,7 +136,7 @@ def refine_gravity(
         A2 = jnp.concatenate([cols_v, cols_g @ Bg, cols_s], axis=1)
         b2 = b - cols_g @ (g / jnp.linalg.norm(g) * g_norm)
         H = A2.T @ A2
-        x = jnp.linalg.solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=dtype), A2.T @ b2)
+        x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=dtype), A2.T @ b2)
         dg = x[3 * F : 3 * F + 2]
         g_new = g / jnp.linalg.norm(g) * g_norm + Bg @ dg
         return g_new, x

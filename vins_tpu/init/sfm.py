@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import spd_solve
 from ..solver.ba import BAState, ba_solve
 
 
@@ -105,7 +106,7 @@ def pnp_gn(
         r = residual(dx0, p, q).reshape(-1)
         J = jax.jacfwd(lambda dx: residual(dx, p, q).reshape(-1))(dx0)
         H = J.T @ J + 1e-8 * jnp.eye(6, dtype=dt)
-        dx = jnp.linalg.solve(H, -J.T @ r)
+        dx = spd_solve(H, -J.T @ r)
         p, q = lie.pose_boxplus(p, q, dx[0:3], dx[3:6])
         return (p, q), None
 

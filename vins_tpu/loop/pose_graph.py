@@ -147,10 +147,11 @@ class PoseGraph:
         cand = None
         if detect_loop:
             idx, scores = self.db.query(kf.fast_desc, kf.fast_valid,
-                                        exclude_last=self.exclude_last)
+                                        exclude_last=self.exclude_last,
+                                        newest_kf=kf.index)
             cand = pick_loop_candidate(idx, scores)
             out["scores"] = scores
-        self.db.add(kf.fast_desc, kf.fast_valid)
+        self.db.add(kf.fast_desc, kf.fast_valid, kf_index=kf.index)
         if cand is not None:
             ok = self._find_connection(kf, int(cand))
             if ok:

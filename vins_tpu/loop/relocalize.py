@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import spd_solve
 
 
 class ReloResult(NamedTuple):
@@ -82,7 +83,7 @@ def refine_relo_pose(
         Jw = J * wr[:, None]
         rw = r * wr
         H = Jw.T @ Jw + 1e-8 * jnp.eye(6, dtype=dt)
-        dx = -jnp.linalg.solve(H, Jw.T @ rw)
+        dx = -spd_solve(H, Jw.T @ rw)
         return (p + dx[:3], lie.qnormalize(lie.qmul(q, lie.deltaQ(dx[3:6])))), None
 
     (p, q), _ = jax.lax.scan(gn_step, (p0, q0), None, length=iters)

@@ -63,38 +63,53 @@ class KeyframeDB:
         self.chunk = chunk
         self.desc = jnp.zeros((capacity, pts_per_kf, BRIEF_BITS), jnp.int8)
         self.valid = jnp.zeros((capacity, pts_per_kf), bool)
+        # slot → external keyframe index: eviction compacts slots, so slot
+        # position and keyframe index diverge after the first halving
+        self.kf_index = np.full(capacity, -1, np.int64)
         self.count = 0
+        self.n_evicted = 0
 
-    def add(self, desc: jax.Array, valid: jax.Array) -> int:
-        """Append one keyframe's descriptors; returns its index.  At capacity
-        the DB downsamples by dropping every other old entry — the reference
-        instead stops adding; we keep recall on the recent map."""
+    def add(self, desc: jax.Array, valid: jax.Array,
+            kf_index: int | None = None) -> int:
+        """Store one keyframe's descriptors under external id `kf_index`
+        (defaults to the running count); returns its slot.  At capacity the
+        DB downsamples by dropping every other old entry — the reference
+        instead caps the map at ~2000 keyframes (tro p.11); halving keeps
+        recall over the whole trajectory at coarser granularity."""
         if self.count >= self.cap:
             keep = np.arange(0, self.cap, 2)
             n = len(keep)
+            self.n_evicted += self.cap - n
             self.desc = self.desc.at[:n].set(self.desc[keep])
             self.valid = self.valid.at[:n].set(self.valid[keep])
             self.valid = self.valid.at[n:].set(False)
+            self.kf_index[:n] = self.kf_index[keep]
+            self.kf_index[n:] = -1
             self.count = n
         i = self.count
         self.desc = self.desc.at[i].set(desc.astype(jnp.int8))
         self.valid = self.valid.at[i].set(valid)
+        self.kf_index[i] = self.count if kf_index is None else int(kf_index)
         self.count += 1
         return i
 
     def query(self, desc: jax.Array, valid: jax.Array, exclude_last: int = 50,
-              top_k: int = 4):
+              top_k: int = 4, newest_kf: int | None = None):
         """detectLoop's query (pose_graph.cpp:304-386): score all stored
-        keyframes except the most recent `exclude_last`, return (indices,
-        scores) of the top-k."""
+        keyframes except those within `exclude_last` KEYFRAME indices of
+        `newest_kf` (default: the newest stored id); returns (external
+        keyframe indices, scores) of the top-k."""
         scores = np.array(_score_all(
             desc.astype(jnp.float32), valid, self.desc, self.valid,
             self.match_thresh, self.chunk,
         ))
-        hi = max(self.count - exclude_last, 0)
-        scores[hi:] = -1.0
+        ids = self.kf_index
+        if newest_kf is None:
+            newest_kf = int(ids[: self.count].max()) if self.count else 0
+        scores[: self.count][ids[: self.count] > newest_kf - exclude_last] = -1.0
+        scores[self.count:] = -1.0
         order = np.argsort(-scores)[:top_k]
-        return order, scores[order]
+        return ids[order], scores[order]
 
 
 def pick_loop_candidate(idx: np.ndarray, scores: np.ndarray,

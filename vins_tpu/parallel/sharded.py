@@ -36,6 +36,7 @@ def shard_map(f, *, mesh, in_specs, out_specs):
     return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                       check_vma=False)
 
+from ..core.linalg import inv3x3
 from ..imu.preintegration import ImuNoise
 from ..solver.gn import SolverOptions
 from ..solver.problem import FeatureObs, Layout, Prior, WindowState
@@ -148,7 +149,7 @@ def make_sharded_ba(mesh: Mesh, iters: int = 10):
             d_ll = jnp.maximum(jnp.diagonal(H_ll, axis1=1, axis2=2), 1e-6)
             H_ll_d = H_ll + (mu * d_ll + 1e-8)[:, :, None] * I3[None]
             H_ll_d = jnp.where(pt_mask[:, None, None], H_ll_d, I3[None])
-            inv_ll = jnp.linalg.inv(H_ll_d)
+            inv_ll = inv3x3(H_ll_d)
             inv_ll = jnp.where(pt_mask[:, None, None], inv_ll, jnp.zeros_like(inv_ll))
 
             H_red = H_xx - jax.lax.psum(

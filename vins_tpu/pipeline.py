@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,7 +67,11 @@ class Pipeline:
         self._pub_count = 0
         self._first_image_time = None
         self._last_image_time = None
-        self._last_img = None
+        self._img_ring: list = []  # (t, image) of recent published frames
+        # pose-graph ingestion gates (pose_graph_node.cpp:24,344-359,385)
+        self._pg_skip_first = 0
+        self._pg_skip_count = 0
+        self._pg_last_t = np.array([-100.0, -100.0, -100.0])
         self.trajectory = []  # (t, p, q) VIO outputs
         self.trajectory_loop = []  # pose-graph-corrected outputs
         self.sequence = 1
@@ -107,7 +112,11 @@ class Pipeline:
         if not publish or feats is None:
             return out
         self._pub_count += 1
-        self._last_img = img
+        # keyframe handoff describes frame F-3 (post-slide W-2), whose image
+        # arrived two published frames ago — keep a small ring keyed by time
+        self._img_ring.append((t, img))
+        if len(self._img_ring) > 6:
+            self._img_ring.pop(0)
 
         # rolling-shutter per-observation time offset: a feature on pixel row
         # r was captured TR·(r/ROW − ½) after the nominal (middle-row) frame
@@ -144,39 +153,59 @@ class Pipeline:
     # ------------------------------------------------------------- keyframe
 
     def _handoff_keyframe(self):
-        """Build a pose-graph keyframe from the just-marginalized frame
-        (pubKeyframe publishes frame WINDOW-2 after MARGIN_OLD,
-        visualization.cpp:348-404; we use the newest solved keyframe)."""
+        """Build a pose-graph keyframe from frame WINDOW-2 after MARGIN_OLD
+        (pubKeyframe, visualization.cpp:348-404), gated by the pose-graph
+        node's ingestion filters (pose_graph_node.cpp:24,344-359,385):
+        skip the first SKIP_FIRST_CNT keyframes, count-downsample by
+        SKIP_CNT, and distance-downsample by SKIP_DIS."""
         est = self.estimator
+
+        if self._pg_skip_first < self.cfg.pg_skip_first_cnt:
+            self._pg_skip_first += 1
+            return None
+        if self._pg_skip_count < self.cfg.pg_skip_cnt:
+            self._pg_skip_count += 1
+            return None
+        self._pg_skip_count = 0
+
         db = est.db
-        kf_frame = est.F - 2  # the newest *keyframe* (F-1 may be rejected)
+        kf_frame = est.F - 3  # post-slide WINDOW-2: the second-newest frame
         t = est.timestamps[kf_frame]
         p_b = est.p[kf_frame]
         q_b = est.q[kf_frame]
-
-        # landmarks observed in that frame with solved depth
-        m = db.used & db.valid[:, kf_frame] & (db.inv_depth > 0)
-        anchors = db.anchor
-        pts3d, pts2d, uv, fids = [], [], [], []
-        for k in np.nonzero(m)[0]:
-            a = anchors[k]
-            d = 1.0 / db.inv_depth[k]
-            ray = np.append(db.pt[k, a], 1.0) * d
-            Ra = np.array(lie.q2R(jnp.asarray(est.q[a])))
-            Ric = np.array(lie.q2R(jnp.asarray(est.qic)))
-            Xw = Ra @ (Ric @ ray + est.tic) + est.p[a]
-            pts3d.append(Xw)
-            pts2d.append(db.pt[k, kf_frame])
-            uv.append(db.uv[k, kf_frame])
-            fids.append(int(db.ids[k]))
-        if len(pts3d) < 10 or self._last_img is None:
+        if np.linalg.norm(p_b - self._pg_last_t) <= self.cfg.pg_skip_dis:
             return None
-        pts3d = np.stack(pts3d)
-        pts2d = np.stack(pts2d)
-        uv = np.stack(uv)
 
-        wdesc = describe_window_points(self._last_img, uv)
-        fpts, fdesc, fok = extract_keyframe_features(self._last_img, self.camera)
+        # the raw image of exactly that frame's timestamp
+        img_kf = next((im for ti, im in self._img_ring
+                       if abs(ti - t) < 1e-6), None)
+        if img_kf is None:
+            return None
+
+        # landmarks observed in that frame with solved depth, anchored
+        # earlier (start_frame < WINDOW-2, visualization.cpp:378)
+        anchors = db.anchor
+        m = (db.used & db.valid[:, kf_frame] & (db.inv_depth > 0)
+             & (anchors < kf_frame))
+        ks = np.nonzero(m)[0]
+        if len(ks) < 10:
+            return None
+        # world landmarks from their anchor frames, one batched op: only F
+        # distinct anchor rotations exist — precompute and index
+        Rw = np.asarray(jax.vmap(lie.q2R)(jnp.asarray(est.q)))  # [F,3,3]
+        Ric = np.asarray(lie.q2R(jnp.asarray(est.qic)))
+        a = anchors[ks]
+        d = 1.0 / db.inv_depth[ks]
+        rays = np.concatenate(
+            [db.pt[ks, a], np.ones((len(ks), 1))], axis=1) * d[:, None]
+        Xc = rays @ Ric.T + est.tic
+        pts3d = np.einsum("kij,kj->ki", Rw[a], Xc) + est.p[a]
+        pts2d = db.pt[ks, kf_frame]
+        uv = db.uv[ks, kf_frame]
+        fids = db.ids[ks]
+
+        wdesc = describe_window_points(img_kf, uv)
+        fpts, fdesc, fok = extract_keyframe_features(img_kf, self.camera)
         kf = KeyFrame(
             index=-1, stamp=float(t), p_vio=p_b, q_vio=q_b,
             points_3d=pts3d, points_2d_norm=pts2d,
@@ -185,6 +214,7 @@ class Pipeline:
             sequence=self.sequence, point_ids=np.asarray(fids),
         )
         res = self.pose_graph.add_keyframe(kf)
+        self._pg_last_t = np.asarray(p_b, float).copy()
         loop = res.get("loop")
         if loop is not None and self.cfg.fast_relocalization:
             self._fast_relocalize()
@@ -215,6 +245,7 @@ class Pipeline:
         self.propagator.reset()
         self._first_image_time = None
         self._pub_count = 0
+        self._img_ring.clear()
         self.sequence += 1
 
     def write_trajectories(self, path_vio: str, path_loop: str | None = None):

@@ -47,6 +47,31 @@ class Trajectory(NamedTuple):
 
         return Trajectory(pos, ypr)
 
+    @staticmethod
+    def circuit(radius: float = 4.0, period: float = 30.0, height: float = 1.0):
+        """A closed circuit inside the textured room (sim/render.py): the
+        body flies the circle facing along the path (forward camera sees the
+        walls), with small z/pitch/roll excitation for IMU observability.
+        After exactly `period` seconds the pose repeats — a genuine revisit
+        for loop-closure tests."""
+        w = 2.0 * jnp.pi / period
+
+        def pos(t):
+            return jnp.stack([
+                radius * jnp.cos(w * t),
+                radius * jnp.sin(w * t),
+                height + 0.25 * jnp.sin(4.0 * w * t),
+            ])
+
+        def ypr(t):
+            return jnp.stack([
+                w * t + jnp.pi / 2.0 + 0.08 * jnp.sin(5.0 * w * t),
+                0.12 * jnp.sin(3.0 * w * t + 0.4),
+                0.10 * jnp.sin(2.0 * w * t + 0.7),
+            ])
+
+        return Trajectory(pos, ypr)
+
     def R(self, t):
         return lie.ypr2R(self.ypr_fn(t) * 180.0 / jnp.pi)
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import inv3x3
 
 
 class BAState(NamedTuple):
@@ -84,7 +85,7 @@ def _damped_solve(H_xx, b_x, H_xl, H_ll, b_l, mu, pose_col_mask, pt_mask):
     H_ll_d = H_ll + (mu * d_ll + 1e-8)[:, :, None] * I3[None]
     # zero-information (invisible/fixed) landmarks get identity blocks
     H_ll_d = jnp.where(pt_mask[:, None, None], H_ll_d, I3[None])
-    inv_ll = jnp.linalg.inv(H_ll_d)
+    inv_ll = inv3x3(H_ll_d)
     inv_ll = jnp.where(pt_mask[:, None, None], inv_ll, jnp.zeros_like(inv_ll))
 
     H_red = H_xx - jnp.einsum("dli,lij,elj->de", H_xl, inv_ll, H_xl)
