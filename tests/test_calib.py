@@ -161,3 +161,42 @@ def test_find_chessboard_synthetic():
     assert d.min(axis=1).max() < 0.5  # every detection near a true corner
     # and ordered row-major consistently
     assert np.allclose(got, gt, atol=0.5) or np.allclose(got, gt[::-1], atol=0.5)
+
+
+def test_calibrate_mei():
+    """MEI (unified sphere, CataCamera.cc): recover ξ + gammas + distortion
+    from synthetic chessboard views — CostFunctionFactory.cc's CATA path."""
+    from vins_tpu.calib.intrinsics import project_mei
+
+    gt = jnp.asarray([0.9, 750.0, 748.0, 376.0, 240.0, -0.1, 0.02, 1e-4, -1e-4])
+    obj, img, valid = _views(12, jax.random.PRNGKey(4), project_mei, gt)
+    res = calibrate(obj, img, valid, model="MEI", iters=30)
+    assert float(res.rms) < 0.2, float(res.rms)
+    intr = np.asarray(res.intrinsics)
+    # xi and gamma trade off; the projection itself must be right
+    pred = project_mei(res.intrinsics, jnp.asarray([[0.2, 0.1, 1.0]]))
+    true = project_mei(gt, jnp.asarray([[0.2, 0.1, 1.0]]))
+    assert np.allclose(np.asarray(pred), np.asarray(true), atol=0.5)
+    assert np.allclose(intr[3:5], np.asarray(gt[3:5]), atol=2.0)
+
+
+def test_calibrate_scaramuzza():
+    """SCARAMUZZA (OCAM): recover the inverse polynomial + affine center
+    (ScaramuzzaCamera.cc / CostFunctionFactory.cc OCAM path)."""
+    from vins_tpu.calib.intrinsics import SCARA_POLY_DEG, project_scaramuzza
+
+    f = 320.0
+    poly = np.zeros(SCARA_POLY_DEG)
+    poly[1] = f
+    poly[2] = 18.0   # mild departure from equidistant
+    poly[3] = -6.0
+    # a physical camera maps the optical axis (θ = −π/2) to ρ = 0
+    h = np.pi / 2
+    poly[0] = poly[1] * h - poly[2] * h**2 + poly[3] * h**3
+    gt = jnp.asarray(np.concatenate([[1.003, 0.002, -0.001, 376.0, 240.0], poly]))
+    obj, img, valid = _views(12, jax.random.PRNGKey(5), project_scaramuzza, gt)
+    res = calibrate(obj, img, valid, model="SCARAMUZZA", iters=30)
+    assert float(res.rms) < 0.2, float(res.rms)
+    pred = project_scaramuzza(res.intrinsics, jnp.asarray([[0.2, -0.15, 1.0]]))
+    true = project_scaramuzza(gt, jnp.asarray([[0.2, -0.15, 1.0]]))
+    assert np.allclose(np.asarray(pred), np.asarray(true), atol=0.5)

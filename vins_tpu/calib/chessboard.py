@@ -18,6 +18,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..core.linalg import inv2x2
 import numpy as np
 
 from ..frontend.image import bilinear
@@ -94,7 +96,8 @@ def subpix_refine(img: jax.Array, pts: jax.Array, win: int = 5,
             by = jnp.sum(wgt * (gx * gy * p[:, 0] + gy * gy * p[:, 1]))
             A = jnp.asarray([[gxx, gxy], [gxy, gyy]], dt)
             b = jnp.stack([bx, by])
-            c_new = jnp.linalg.solve(A + 1e-9 * jnp.eye(2, dtype=dt), b)
+            Ad = A + 1e-9 * jnp.eye(2, dtype=dt)
+            c_new = (inv2x2(Ad) @ b[:, None])[:, 0]
             return jnp.where(jnp.all(jnp.isfinite(c_new)), c_new, c)
 
         return jax.lax.fori_loop(0, iters, body, c)

@@ -8,8 +8,11 @@ Zhang's closed-form absolute-conic solve for the initial K, then one jitted
 Gauss-Newton over [intrinsics | per-view extrinsics] with all views and
 corners as fixed-shape masked tensors.
 
-Supported models mirror CameraFactory.cc: PINHOLE (radtan) and
-KANNALA_BRANDT (equidistant θ-polynomial).
+Supported models mirror CameraFactory.cc: PINHOLE (radtan),
+KANNALA_BRANDT (equidistant θ-polynomial), MEI (unified sphere + radtan,
+CataCamera.cc) and SCARAMUZZA (OCAM inverse polynomial,
+ScaramuzzaCamera.cc) — the same four the reference's CostFunctionFactory.cc
+builds Ceres costs for.
 """
 from __future__ import annotations
 
@@ -20,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import inv3x3, spd_solve
 
 
 # --------------------------------------------------------------------- DLT
@@ -53,7 +57,7 @@ def homography_dlt(obj: jax.Array, img: jax.Array, valid: jax.Array) -> jax.Arra
     _, V = jnp.linalg.eigh(A.T @ A)
     h = V[:, 0]
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.solve(Ti, Hn @ To)
+    H = inv3x3(Ti) @ (Hn @ To)  # 3x3: closed form (no f64 LU on TPU)
     return H / H[2, 2]
 
 
@@ -95,7 +99,7 @@ def extrinsics_from_h(H: jax.Array, K: jax.Array):
     """Per-view board pose from its homography: H = K [r1 r2 t]."""
     dt = H.dtype
     Km = jnp.asarray([[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1.0]], dt)
-    M = jnp.linalg.solve(Km, H)
+    M = inv3x3(Km) @ H  # 3x3: closed form (no f64 LU on TPU)
     s = 1.0 / jnp.maximum(jnp.linalg.norm(M[:, 0]), 1e-12)
     # cheirality: board in front of camera
     s = s * jnp.sign(M[2, 2])
@@ -140,12 +144,43 @@ def project_kb(params: jax.Array, Pc: jax.Array) -> jax.Array:
     ], -1)
 
 
-_PROJECT = {"PINHOLE": project_pinhole, "KANNALA_BRANDT": project_kb}
-N_INTR = 8  # both supported models have 8 intrinsic parameters
+def project_mei(params: jax.Array, Pc: jax.Array) -> jax.Array:
+    """[xi,gamma1,gamma2,u0,v0,k1,k2,p1,p2] unified-sphere projection
+    (CataCamera.cc spaceToPlane): z' = z + ξ·|P|, radtan, then gamma."""
+    xi, fx, fy, cx, cy, k1, k2, p1, p2 = params
+    z = Pc[..., 2] + xi * jnp.linalg.norm(Pc, axis=-1)
+    x = Pc[..., 0] / z
+    y = Pc[..., 1] / z
+    r2 = x * x + y * y
+    rad = k1 * r2 + k2 * r2 * r2
+    dx = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    dy = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return jnp.stack([fx * (x + dx) + cx, fy * (y + dy) + cy], -1)
+
+
+def project_scaramuzza(params: jax.Array, Pc: jax.Array) -> jax.Array:
+    """[C,D,E,cx,cy,i0..i7] OCAM world→image (ScaramuzzaCamera.cc:632-653):
+    ρ = inv_poly(θ) with θ = atan2(−z, ‖xy‖), then the affine warp."""
+    C, D, E, cx, cy = params[:5]
+    inv_poly = params[5:]
+    norm = jnp.sqrt(Pc[..., 0] ** 2 + Pc[..., 1] ** 2)
+    theta = jnp.arctan2(-Pc[..., 2], norm)
+    rho = jnp.polyval(inv_poly[::-1], theta)
+    inv_norm = 1.0 / jnp.clip(norm, 1e-12, None)
+    xn = Pc[..., 0] * inv_norm * rho
+    yn = Pc[..., 1] * inv_norm * rho
+    return jnp.stack([xn * C + yn * D + cx, xn * E + yn + cy], -1)
+
+
+SCARA_POLY_DEG = 5  # inverse-polynomial coefficients fitted in calibration
+_PROJECT = {"PINHOLE": project_pinhole, "KANNALA_BRANDT": project_kb,
+            "MEI": project_mei, "SCARAMUZZA": project_scaramuzza}
+_N_INTR = {"PINHOLE": 8, "KANNALA_BRANDT": 8, "MEI": 9,
+           "SCARAMUZZA": 5 + SCARA_POLY_DEG}
 
 
 class CalibResult(NamedTuple):
-    intrinsics: jax.Array  # [8]
+    intrinsics: jax.Array  # [n_intr(model)]
     rvecs: jax.Array  # [V,4] board→camera quaternions
     tvecs: jax.Array  # [V,3]
     rms: jax.Array  # [] reprojection RMS (pixels)
@@ -167,15 +202,16 @@ def refine_calibration(
     """Joint GN over intrinsics + per-view extrinsics (the reference's Ceres
     problem in CameraCalibration.cc optimize()), LM-damped, fixed iterations."""
     proj = _PROJECT[model]
+    n_intr = _N_INTR[model]
     V, N, _ = obj.shape
     dt = obj.dtype
     w = (valid & view_valid[:, None]).astype(dt)
     nobs = jnp.maximum(jnp.sum(w), 1.0)
-    dim = N_INTR + 6 * V
+    dim = n_intr + 6 * V
 
     def residuals(x):
-        intr = x[:N_INTR]
-        ext = x[N_INTR:].reshape(V, 6)
+        intr = x[:n_intr]
+        ext = x[n_intr:].reshape(V, 6)
 
         def per_view(e, qv, tv, o):
             qq = lie.qmul(qv, lie.deltaQ(e[:3]))
@@ -196,7 +232,7 @@ def refine_calibration(
         H = J.T @ J
         g = J.T @ r
         Hd = H + mu * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(dim, dtype=dt)
-        dx = -jnp.linalg.solve(Hd, g)
+        dx = -spd_solve(Hd, g)
         x_new = apply_step(x, dx)
         c_new = jnp.sum(residuals(x_new) ** 2)
         ok = c_new < cost
@@ -214,8 +250,8 @@ def refine_calibration(
     c0 = jnp.sum(residuals(x0) ** 2)
     (x, _, cost), _ = jax.lax.scan(gn_step, (x0, jnp.asarray(1e-3, dt), c0), None, length=iters)
 
-    intr = x[:N_INTR]
-    ext = x[N_INTR:].reshape(V, 6)
+    intr = x[:n_intr]
+    ext = x[n_intr:].reshape(V, 6)
     q = jax.vmap(lambda qv, e: lie.qnormalize(lie.qmul(qv, lie.deltaQ(e[:3]))))(q0, ext)
     t = t0 + ext[:, 3:]
 
@@ -246,6 +282,36 @@ def calibrate(obj, img, valid, model: str = "PINHOLE", iters: int = 15) -> Calib
     K = zhang_intrinsics(Hs, view_valid)
     Rs, ts = jax.vmap(lambda H: extrinsics_from_h(H, K))(Hs)
     qs = jax.vmap(lie.R2q)(Rs)
-    intr0 = jnp.concatenate([K, jnp.zeros((4,), dt)])
+    if model == "MEI":
+        # ξ₀ = 1: the effective pinhole focal at the center is γ/(1+ξ), so
+        # seed γ = 2·f_zhang (CataCamera estimateIntrinsics plays this role)
+        intr0 = jnp.concatenate([
+            jnp.asarray([1.0], dt), 2.0 * K[:2], K[2:],
+            jnp.zeros((4,), dt)])
+    elif model == "SCARAMUZZA":
+        # linear inverse-polynomial seed (the OCAM-toolbox recipe): with the
+        # Zhang extrinsics fixed, ρ(θ) is LINEAR in the coefficients —
+        # ρ_obs = ‖uv − center‖, θ from the board pose — one weighted LSQ
+        def per_view(qv, tv, o, im):
+            N = o.shape[0]
+            Pb = jnp.concatenate([o, jnp.zeros((N, 1), dt)], -1)
+            Pc = jax.vmap(lambda X: lie.qrotate(qv, X))(Pb) + tv
+            theta = jnp.arctan2(-Pc[:, 2],
+                                jnp.sqrt(Pc[:, 0] ** 2 + Pc[:, 1] ** 2))
+            rho = jnp.linalg.norm(im - K[2:][None], axis=-1)
+            return theta, rho
+
+        th, rho = jax.vmap(per_view)(qs, ts, obj, img)  # [V,N] each
+        th = th.reshape(-1)
+        rho = rho.reshape(-1)
+        wv = (valid & view_valid[:, None]).reshape(-1).astype(dt)
+        Adm = th[:, None] ** jnp.arange(SCARA_POLY_DEG, dtype=dt)[None]
+        Adm = Adm * wv[:, None]
+        Hp = Adm.T @ Adm + 1e-9 * jnp.eye(SCARA_POLY_DEG, dtype=dt)
+        poly0 = spd_solve(Hp, Adm.T @ (rho * wv))
+        intr0 = jnp.concatenate([
+            jnp.asarray([1.0, 0.0, 0.0], dt), K[2:], poly0])
+    else:
+        intr0 = jnp.concatenate([K, jnp.zeros((4,), dt)])
     return refine_calibration(intr0, qs, ts, obj, img, valid, view_valid,
                               model=model, iters=iters)

@@ -34,13 +34,20 @@ NON_LINEAR = 1
 
 
 class Estimator:
-    def __init__(self, cfg: VinsConfig, imu_buf_len: int = 256, dtype=jnp.float64):
+    def __init__(self, cfg: VinsConfig, imu_buf_len: int = 256, dtype=jnp.float64,
+                 aux_frames: int = 64, aux_imu_len: int = 64):
         self.cfg = cfg
         self.dtype = dtype
         self.F = cfg.frames
         self.W = cfg.window
         self.L = cfg.max_landmarks
         self.N = imu_buf_len
+        # all-frames initialization buffer (the reference's all_image_frame,
+        # initial_alignment.h:13-27): a ring of the last `aux_frames`
+        # PUBLISHED frames (keyframes AND non-keyframes) with their feature
+        # observations and inter-frame IMU intervals, used only in INITIAL
+        self.A = aux_frames
+        self.Ni = aux_imu_len
         self.layout = Layout(self.F)
         self.noise = ImuNoise(cfg.acc_n, cfg.gyr_n, cfg.acc_w, cfg.gyr_w)
         self.opts = SolverOptions(iters=cfg.max_num_iterations, focal=cfg.focal)
@@ -94,6 +101,21 @@ class Estimator:
         self.gyr_prev = np.zeros(3)
         self.imu_overflow = getattr(self, "imu_overflow", 0)
 
+        # all-frames init ring (+ the open interval accumulator)
+        A, Ni, M = self.A, self.Ni, self.cfg.max_cnt
+        self.aux_t = np.full(A, -1.0)
+        self.aux_ids = np.full((A, M), -1, np.int64)
+        self.aux_pt = np.zeros((A, M, 2))
+        self.aux_dt = np.zeros((A, Ni))
+        self.aux_acc = np.zeros((A, Ni + 1, 3))
+        self.aux_gyr = np.zeros((A, Ni + 1, 3))
+        self.aux_n = np.zeros(A, np.int64)
+        self.aux_count = 0
+        self._acc_dt = np.zeros(Ni)
+        self._acc_acc = np.zeros((Ni + 1, 3))
+        self._acc_gyr = np.zeros((Ni + 1, 3))
+        self._acc_n = 0
+
         self.prior = Prior.empty(self.layout, self.dtype)
         self.db.clear()
 
@@ -136,6 +158,18 @@ class Estimator:
                         f"IMU interval buffer overflow (N={self.N}); "
                         "sample dropped — raise imu_buf_len", RuntimeWarning)
 
+            # all-frames init: accumulate the open published-frame interval
+            if self.solver_flag == INITIAL:
+                na = self._acc_n
+                if na == 0:
+                    self._acc_acc[0] = self.acc_prev
+                    self._acc_gyr[0] = self.gyr_prev
+                if na < self.Ni:
+                    self._acc_dt[na] = dt
+                    self._acc_acc[na + 1] = acc
+                    self._acc_gyr[na + 1] = gyr
+                    self._acc_n = na + 1
+
             # midpoint propagation of the newest state (same math as the
             # preintegration step, world frame, g = +z·9.81 specific-force
             # convention: a_w = R(a_m − ba) − g)
@@ -163,6 +197,8 @@ class Estimator:
         marg_old = self.db.add_frame(ids, pts, vels, uvs, toffs, col)
         marg_old = marg_old or self._overflow_guard()
         self.timestamps[col] = t
+        if self.solver_flag == INITIAL:
+            self._aux_append(ids, pts, t)
 
         if self.estimate_extrinsic == 2 and self.frame_count != 0:
             self._calibrate_extrinsic(col)
@@ -220,6 +256,25 @@ class Estimator:
 
     def _imu_mask(self):
         return np.arange(self.N)[None, :] < self.imu_n[:, None]
+
+    def _aux_append(self, ids, pts, t: float):
+        """Record a published frame + its inter-frame IMU interval in the
+        all-frames init ring (all_image_frame insert, estimator.cpp:131-135)."""
+        slot = self.aux_count % self.A
+        ids = np.asarray(ids, np.int64)
+        pts = np.asarray(pts, float)
+        n = min(len(ids), self.cfg.max_cnt)
+        self.aux_ids[slot] = -1
+        self.aux_ids[slot, :n] = ids[:n]
+        self.aux_pt[slot] = 0.0
+        self.aux_pt[slot, :n] = pts[:n, :2]
+        self.aux_t[slot] = t
+        self.aux_dt[slot] = self._acc_dt
+        self.aux_acc[slot] = self._acc_acc
+        self.aux_gyr[slot] = self._acc_gyr
+        self.aux_n[slot] = self._acc_n
+        self.aux_count += 1
+        self._acc_n = 0
 
     def _overflow_guard(self) -> bool:
         """Force MARGIN_OLD when MARGIN_SECOND_NEW's interval merge
@@ -310,7 +365,7 @@ class Estimator:
     def _try_initialize(self) -> bool:
         res = self.initializer.try_initialize(
             self.db, self.imu_dt, self.imu_acc, self.imu_gyr, self.imu_n,
-            self.qic, self.tic,
+            self.qic, self.tic, est=self, win_ts=self.timestamps,
         )
         self.last_init = res
         if not res.ok:

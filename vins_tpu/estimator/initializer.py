@@ -25,7 +25,7 @@ from ..core import lie
 from ..imu.preintegration import ImuNoise, preintegrate
 from ..init.alignment import solve_gyro_bias, visual_imu_alignment
 from ..init.relative_pose import solve_relative_pose
-from ..init.sfm import construct_sfm
+from ..init.sfm import construct_sfm, pnp_gn
 
 
 class InitResult(NamedTuple):
@@ -86,6 +86,72 @@ def make_align_pipeline(noise: ImuNoise, g_norm: float):
     return pipeline
 
 
+def make_align_all_pipeline(noise: ImuNoise, g_norm: float):
+    """All-frames initialization (the reference's all_image_frame path,
+    estimator.cpp:340-362 solvePnP per frame + visualInitialAlign over every
+    published frame, initial_alignment.h:13-27): SfM over the window
+    keyframes, PnP for every aux frame against the SfM landmarks, then gyro
+    bias + linear alignment over the full aux-frame chain — non-keyframe
+    intervals carry most of the excitation in slow scenes."""
+    @jax.jit
+    def pipeline(pt, valid, l, R_rel, t_rel, qic, tic,
+                 aux_obs, aux_w, aux_fmask, win_idx, win_sel,
+                 aux_dt, aux_acc, aux_gyr, aux_mask):
+        dtype = pt.dtype
+        zero3 = jnp.zeros(3, dtype)
+
+        sfm = construct_sfm(pt, valid, l, R_rel, t_rel)
+
+        # PnP for every aux frame against SfM landmarks, initialized from
+        # the nearest window keyframe's SfM camera pose
+        w = aux_w * sfm.has_pt[None, :].astype(dtype)
+        p_a, q_a, ok_a = jax.vmap(
+            lambda x, wi, p0, q0: pnp_gn(sfm.pts, x, wi, p0, q0)
+        )(aux_obs, w, sfm.p_wc[win_idx], sfm.q_wc[win_idx])
+        pnp_ok = jnp.all(ok_a | ~aux_fmask)
+
+        q_ci = jnp.asarray(qic)
+        q_wb_a = jax.vmap(lambda qc: lie.qmul(qc, lie.qconj(q_ci)))(q_a)
+
+        # interval j chains aux frames j→j+1; valid iff frame j+1 is real
+        # (aux frames are a chronological valid prefix)
+        int_mask = aux_fmask[1:].astype(dtype)
+        pres0 = jax.vmap(
+            lambda d, a, g, m: preintegrate(d, a, g, zero3, zero3, noise, m)
+        )(aux_dt, aux_acc, aux_gyr, aux_mask)
+        dbg = solve_gyro_bias(q_wb_a, pres0, mask=int_mask)
+        pres1 = jax.vmap(
+            lambda d, a, g, m: preintegrate(d, a, g, zero3, dbg, noise, m)
+        )(aux_dt, aux_acc, aux_gyr, aux_mask)
+
+        align = visual_imu_alignment(q_wb_a, p_a, tic, pres1, g_norm,
+                                     mask=int_mask)
+
+        # --- apply to the WINDOW (velocities gathered from the aux chain,
+        # estimator.cpp:393-404) --------------------------------------------
+        s = align.scale
+        q_wb = jax.vmap(lambda qc: lie.qmul(qc, lie.qconj(q_ci)))(sfm.q_wc)
+        R_wb = jax.vmap(lie.q2R)(q_wb)
+        tic_b = jnp.asarray(tic)
+        Ps = s * sfm.p_wc - jnp.einsum("fij,j->fi", R_wb, tic_b)
+        Ps = Ps - Ps[0][None]
+        R_wb_a = jax.vmap(lie.q2R)(q_wb_a)
+        Vs_a = jnp.einsum("aij,aj->ai", R_wb_a, align.v_body)
+        Vs = Vs_a[win_sel]
+
+        R0 = lie.g2R(align.g_c0)
+        yaw0 = lie.R2ypr(R0 @ R_wb[0])[0]
+        R0 = lie.ypr2R(jnp.stack([-yaw0, jnp.zeros_like(yaw0), jnp.zeros_like(yaw0)])) @ R0
+        Ps = Ps @ R0.T
+        Vs = Vs @ R0.T
+        R_wb = jnp.einsum("ij,fjk->fik", R0, R_wb)
+        q_out = jax.vmap(lie.R2q)(R_wb)
+
+        return Ps, q_out, Vs, dbg, s, sfm.ok & pnp_ok, align.ok
+
+    return pipeline
+
+
 class Initializer:
     def __init__(self, noise: ImuNoise, g_norm: float, focal: float = 460.0,
                  dtype=jnp.float64):
@@ -94,6 +160,7 @@ class Initializer:
         self.focal = focal
         self.dtype = dtype
         self._pipeline = make_align_pipeline(noise, g_norm)
+        self._pipeline_all = make_align_all_pipeline(noise, g_norm)
         self._key = jax.random.PRNGKey(0)
 
     def excitation_variance(self, imu_dt, imu_acc, imu_gyr, imu_n) -> float:
@@ -138,8 +205,66 @@ class Initializer:
                 return l, rel
         return None
 
+    def _build_aux_inputs(self, db, est, win_ts):
+        """Host-side packing of the all-frames ring into fixed-shape pipeline
+        inputs; returns None when the ring can't serve (too few frames, or a
+        window frame already evicted)."""
+        A = est.A
+        count = min(est.aux_count, A)
+        F = db.F
+        if count < F + 2:
+            return None
+        if est.aux_count <= A:
+            order = np.arange(count)
+        else:
+            order = (np.arange(A) + est.aux_count % A) % A
+        full = np.concatenate([order, np.zeros(A - count, np.int64)])
+        ts = est.aux_t[full]
+
+        # every window frame must still be in the ring (timestamps match)
+        win_sel = np.searchsorted(ts[:count], win_ts)
+        win_sel = np.clip(win_sel, 0, count - 1)
+        if not np.allclose(ts[win_sel], win_ts, atol=1e-9):
+            return None
+
+        # per-aux-frame observations scattered into landmark slots
+        L = db.L
+        aux_obs = np.zeros((A, L, 2))
+        aux_w = np.zeros((A, L))
+        sort = np.argsort(db.ids)
+        sids = db.ids[sort]
+        for a in range(count):
+            ids_a = est.aux_ids[full[a]]
+            ok = ids_a >= 0
+            pos = np.searchsorted(sids, ids_a[ok])
+            pos = np.clip(pos, 0, L - 1)
+            hit = sids[pos] == ids_a[ok]
+            slots = sort[pos[hit]]
+            aux_obs[a, slots] = est.aux_pt[full[a]][ok][hit]
+            aux_w[a, slots] = 1.0
+
+        fmask = np.zeros(A, bool)
+        fmask[:count] = True
+        # nearest window keyframe per aux frame (PnP initial pose)
+        wi = np.searchsorted(win_ts, ts)
+        wi = np.clip(wi, 0, F - 1)
+        lo = np.clip(wi - 1, 0, F - 1)
+        nearer_lo = np.abs(win_ts[lo] - ts) < np.abs(win_ts[wi] - ts)
+        win_idx = np.where(nearer_lo, lo, wi)
+
+        Ni = est.Ni
+        imask = (np.arange(Ni)[None, :]
+                 < est.aux_n[full][:, None])  # [A, Ni]
+        return dict(
+            aux_obs=aux_obs, aux_w=aux_w, fmask=fmask,
+            win_idx=win_idx, win_sel=win_sel,
+            dt=est.aux_dt[full][1:], acc=est.aux_acc[full][1:],
+            gyr=est.aux_gyr[full][1:], imask=imask[1:],
+        )
+
     def try_initialize(
         self, db, imu_dt, imu_acc, imu_gyr, imu_n, qic, tic,
+        est=None, win_ts=None,
     ) -> InitResult:
         g_var = self.excitation_variance(imu_dt, imu_acc, imu_gyr, imu_n)
         # (reference warns when < 0.25 but proceeds — estimator.cpp:245-247)
@@ -149,19 +274,44 @@ class Initializer:
             return InitResult(False, "no reference frame with enough parallax", g_var=g_var)
         l, rel = found
 
+        dtj = self.dtype
+        pt = jnp.asarray(db.pt, dtj)
+        valid = jnp.asarray(db.valid & db.used[:, None])
+
+        # --- all-frames path (all_image_frame, estimator.cpp:340-440) ------
+        aux = None
+        if est is not None and win_ts is not None:
+            aux = self._build_aux_inputs(db, est, np.asarray(win_ts))
+        if aux is not None:
+            Ps, q, Vs, dbg, s, sfm_ok, align_ok = self._pipeline_all(
+                pt, valid, jnp.asarray(l),
+                jnp.asarray(rel.R, dtj), jnp.asarray(rel.t, dtj),
+                jnp.asarray(qic, dtj), jnp.asarray(tic, dtj),
+                jnp.asarray(aux["aux_obs"], dtj), jnp.asarray(aux["aux_w"], dtj),
+                jnp.asarray(aux["fmask"]),
+                jnp.asarray(aux["win_idx"]), jnp.asarray(aux["win_sel"]),
+                jnp.asarray(aux["dt"], dtj), jnp.asarray(aux["acc"], dtj),
+                jnp.asarray(aux["gyr"], dtj), jnp.asarray(aux["imask"]),
+            )
+            if bool(sfm_ok) and bool(align_ok):
+                return InitResult(
+                    True, "ok (all frames)",
+                    p=np.asarray(Ps), q=np.asarray(q), v=np.asarray(Vs),
+                    bg=np.asarray(dbg), scale=float(s), g_var=g_var,
+                )
+            # fall through to the window-only path
+
         N = imu_dt.shape[1]
         mask = np.arange(N)[None, :] < imu_n[:, None]
         Ps, q, Vs, dbg, s, sfm_ok, align_ok = self._pipeline(
-            jnp.asarray(db.pt, self.dtype),
-            jnp.asarray(db.valid & db.used[:, None]),
-            jnp.asarray(l),
-            jnp.asarray(rel.R, self.dtype),
-            jnp.asarray(rel.t, self.dtype),
-            jnp.asarray(qic, self.dtype),
-            jnp.asarray(tic, self.dtype),
-            jnp.asarray(imu_dt, self.dtype),
-            jnp.asarray(imu_acc, self.dtype),
-            jnp.asarray(imu_gyr, self.dtype),
+            pt, valid, jnp.asarray(l),
+            jnp.asarray(rel.R, dtj),
+            jnp.asarray(rel.t, dtj),
+            jnp.asarray(qic, dtj),
+            jnp.asarray(tic, dtj),
+            jnp.asarray(imu_dt, dtj),
+            jnp.asarray(imu_acc, dtj),
+            jnp.asarray(imu_gyr, dtj),
             jnp.asarray(mask),
         )
         if not bool(sfm_ok):

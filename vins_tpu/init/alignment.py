@@ -27,6 +27,7 @@ from ..imu.preintegration import Preintegration
 def solve_gyro_bias(
     q_wb: jax.Array,  # [F,4] body orientations from SfM (camera-derived)
     pres: Preintegration,  # batched [F-1]
+    mask: jax.Array | None = None,  # [F-1] interval validity (fixed shapes)
 ) -> jax.Array:
     """Least-squares gyro bias from SfM-vs-preintegration rotation mismatch
     (initial_aligment.cpp:3-37).  Returns dbg [3]; caller repropagates."""
@@ -36,6 +37,9 @@ def solve_gyro_bias(
     err = jax.vmap(lambda dq, qij: 2.0 * lie.qmul(lie.qconj(dq), qij)[1:4])(
         pres.dq, q_ij
     )
+    if mask is not None:
+        J = J * mask[:, None, None]
+        err = err * mask[:, None]
     A = jnp.einsum("kij,kil->jl", J, J)
     b = jnp.einsum("kij,ki->j", J, err)
     return spd_solve(A + 1e-10 * jnp.eye(3, dtype=A.dtype), b)
@@ -53,6 +57,7 @@ def _build_lin_system(
     p_cam: jax.Array,  # [F,3] CAMERA positions in SfM frame (unscaled)
     tic: jax.Array,  # [3]
     pres: Preintegration,
+    mask: jax.Array | None = None,  # [F-1] interval validity
 ):
     """Stack the per-pair 6×10 blocks of LinearAlignment (:135-160) into a
     dense [6(F-1), 3F+4] system.  Unknowns: [v_0..v_{F-1} body, g_c0, s/100]."""
@@ -89,19 +94,34 @@ def _build_lin_system(
         A = A.at[r + 3 : r + 6, 3 * k + 3 : 3 * k + 6].set(A_vj_v[k])
         A = A.at[r + 3 : r + 6, 3 * F : 3 * F + 3].set(A_g_v[k])
         b = b.at[r + 3 : r + 6].set(b_v[k])
+    if mask is not None:
+        m6 = jnp.repeat(mask.astype(A.dtype), 6)
+        A = A * m6[:, None]
+        b = b * m6
     return A, b
+
+
+def _velocity_pin(F: int, mask: jax.Array, dtype) -> jax.Array:
+    """Unit-diagonal entries pinning the velocity of frames that touch no
+    valid interval (keeps the masked normal equations SPD)."""
+    zero = jnp.zeros(1, bool)
+    act = jnp.concatenate([mask, zero]) | jnp.concatenate([zero, mask])  # [F]
+    pin = jnp.where(jnp.repeat(act, 3), 0.0, 1.0).astype(dtype)  # [3F]
+    return jnp.concatenate([pin, jnp.zeros(4, dtype)])  # [3F+4]
 
 
 def linear_alignment(
     R_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
-    g_norm: float = 9.81007,
+    g_norm: float = 9.81007, mask: jax.Array | None = None,
 ) -> AlignResult:
     """LinearAlignment (:125-197): solve velocities, gravity, scale; accept
     when |g| is near g_norm and s > 0.  (The reference's ×1000 row scaling is
     a float conditioning aid; we solve in float64.)"""
     F = R_wb.shape[0]
-    A, b = _build_lin_system(R_wb, p_cam, tic, pres)
+    A, b = _build_lin_system(R_wb, p_cam, tic, pres, mask)
     H = A.T @ A
+    if mask is not None:
+        H = H + jnp.diag(_velocity_pin(F, mask, H.dtype))
     x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype), A.T @ b)
     s = x[-1] / 100.0
     g = x[3 * F : 3 * F + 3]
@@ -112,12 +132,14 @@ def linear_alignment(
 def refine_gravity(
     R_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
     g0: jax.Array, g_norm: float = 9.81007, iters: int = 4,
+    mask: jax.Array | None = None,
 ) -> AlignResult:
     """RefineGravity (:55-123): re-parameterize g = ĝ·g_norm + B(ĝ)·dg on the
     2-dim tangent of the gravity sphere; 4 fixed re-linearizations."""
     F = R_wb.shape[0]
     dtype = p_cam.dtype
-    A, b = _build_lin_system(R_wb, p_cam, tic, pres)
+    A, b = _build_lin_system(R_wb, p_cam, tic, pres, mask)
+    pin = None if mask is None else _velocity_pin(F, mask, dtype)[: 3 * F]
     cols_v = A[:, : 3 * F]
     cols_g = A[:, 3 * F : 3 * F + 3]
     cols_s = A[:, 3 * F + 3 :]
@@ -136,6 +158,8 @@ def refine_gravity(
         A2 = jnp.concatenate([cols_v, cols_g @ Bg, cols_s], axis=1)
         b2 = b - cols_g @ (g / jnp.linalg.norm(g) * g_norm)
         H = A2.T @ A2
+        if pin is not None:
+            H = H + jnp.diag(jnp.concatenate([pin, jnp.zeros(3, dtype)]))
         x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=dtype), A2.T @ b2)
         dg = x[3 * F : 3 * F + 2]
         g_new = g / jnp.linalg.norm(g) * g_norm + Bg @ dg
@@ -149,14 +173,14 @@ def refine_gravity(
 
 def visual_imu_alignment(
     q_wb: jax.Array, p_cam: jax.Array, tic: jax.Array, pres: Preintegration,
-    g_norm: float = 9.81007,
+    g_norm: float = 9.81007, mask: jax.Array | None = None,
 ):
     """VisualIMUAlignment minus the repropagation step (:199-207): the caller
     must repropagate preintegrations at the returned gyro bias *before*
     calling this with them — mirroring the reference control flow, this
     function only chains the linear + refinement solves."""
     R_wb = jax.vmap(lie.q2R)(q_wb)
-    lin = linear_alignment(R_wb, p_cam, tic, pres, g_norm)
-    ref = refine_gravity(R_wb, p_cam, tic, pres, lin.g_c0, g_norm)
+    lin = linear_alignment(R_wb, p_cam, tic, pres, g_norm, mask=mask)
+    ref = refine_gravity(R_wb, p_cam, tic, pres, lin.g_c0, g_norm, mask=mask)
     return AlignResult(v_body=ref.v_body, g_c0=ref.g_c0, scale=ref.scale,
                        ok=lin.ok & ref.ok)
