@@ -51,3 +51,45 @@ def test_circular_fov_mask():
     assert not m[0, 0] and not m[479, 751]  # corners out
     assert not m[240, 0] and not m[240, 751]  # left/right edge out (r=h/2)
     assert m[240, 376 - 200] and m[240, 376 + 200]
+
+
+def test_all_platform_configs_load_and_build_cameras():
+    """Every shipped platform yaml (the reference's config/<platform>
+    packages) parses and builds its camera model; MEI platforms exercise the
+    unified-sphere model at runtime, realsense exercises rolling shutter."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vins_tpu.config import load_config
+    from vins_tpu.core.cameras import (EquidistantCamera, MeiCamera,
+                                       PinholeCamera, camera_from_yaml)
+
+    base = os.path.join(os.path.dirname(__file__), "..", "config")
+    expect = {
+        "euroc.yaml": PinholeCamera,
+        "tum.yaml": EquidistantCamera,
+        "cla.yaml": EquidistantCamera,
+        "3dm.yaml": MeiCamera,
+        "black_box.yaml": MeiCamera,
+        "realsense.yaml": PinholeCamera,
+        "realsense_fisheye.yaml": EquidistantCamera,
+    }
+    for name, cls in expect.items():
+        cfg = load_config(os.path.join(base, name))
+        cam = camera_from_yaml(cfg.camera, dtype=jnp.float64)
+        assert isinstance(cam, cls), (name, type(cam))
+        # project/lift round trip near the center third of the image
+        P = jnp.asarray([[0.2, -0.1, 1.0], [0.05, 0.12, 2.0]])
+        uv = cam.project(P)
+        rays = cam.lift(uv)
+        np.testing.assert_allclose(
+            np.asarray(rays[:, :2] / rays[:, 2:3]),
+            np.asarray(P[:, :2] / P[:, 2:3]), atol=1e-5)
+    # rolling-shutter platform wired through config
+    rs = load_config(os.path.join(base, "realsense.yaml"))
+    assert rs.rolling_shutter and abs(rs.rolling_shutter_tr - 0.033) < 1e-9
+    assert rs.estimate_td
+    bb = load_config(os.path.join(base, "black_box.yaml"))
+    assert bb.estimate_extrinsic == 1 and abs(bb.pg_skip_dis - 0.1) < 1e-9

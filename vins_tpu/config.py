@@ -55,6 +55,9 @@ class VinsConfig:
     pg_skip_first_cnt: int = 10
     pg_skip_cnt: int = 0
     pg_skip_dis: float = 0.0
+    # keep raw images on keyframes + build loop-match overlays (the
+    # reference's DEBUG_IMAGE compile flag, keyframe.h/parameters)
+    debug_image: bool = False
     # --- camera (parsed separately into a camera model) ---
     camera: dict | None = None
     extrinsic_R: tuple = ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))  # imu^R_cam

@@ -41,7 +41,7 @@ def _yawR(yaw_deg):
 class KeyFrame:
     def __init__(self, index, stamp, p_vio, q_vio, points_3d, points_2d_norm,
                  window_desc, window_valid, fast_pts_norm, fast_desc, fast_valid,
-                 sequence=1, point_ids=None):
+                 sequence=1, point_ids=None, window_uv=None, image=None):
         self.index = index
         self.stamp = stamp
         self.sequence = sequence
@@ -62,6 +62,9 @@ class KeyFrame:
         self.fast_pts = fast_pts_norm  # [P,2] normalized coords (device)
         self.fast_desc = fast_desc  # [P,256]
         self.fast_valid = fast_valid  # [P]
+        # debug-only extras (the reference's DEBUG_IMAGE path, keyframe.cpp)
+        self.window_uv = None if window_uv is None else np.asarray(window_uv, float)
+        self.image = image
         self.loop_index = -1
         self.loop_rel_t = np.zeros(3)
         self.loop_rel_q = np.array([1.0, 0, 0, 0])

@@ -212,13 +212,92 @@ class Pipeline:
             window_desc=wdesc, window_valid=jnp.ones(len(pts3d), bool),
             fast_pts_norm=fpts, fast_desc=fdesc, fast_valid=fok,
             sequence=self.sequence, point_ids=np.asarray(fids),
+            window_uv=uv,
+            image=np.asarray(img_kf) if self.cfg.debug_image else None,
         )
         res = self.pose_graph.add_keyframe(kf)
         self._pg_last_t = np.asarray(p_b, float).copy()
         loop = res.get("loop")
         if loop is not None and self.cfg.fast_relocalization:
             self._fast_relocalize()
+        if loop is not None and self.cfg.debug_image:
+            self.last_loop_image = self._render_loop_match(kf)
         return loop
+
+    def _render_loop_match(self, kf):
+        """Side-by-side loop-match overlay (keyframe.cpp:416-468's
+        DEBUG_IMAGE loop_match), built from the stored keyframe images."""
+        from .utils.viz import draw_loop_match
+
+        match = getattr(self.pose_graph, "last_match", None)
+        if match is None or kf.image is None:
+            return None
+        old = self.pose_graph.keyframes[match["old_index"]]
+        if old.image is None:
+            return None
+        # old points arrive as normalized coords: project back to pixels
+        pts = np.asarray(match["pts_old"], float)
+        rays = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+        uv_old = np.asarray(self.camera.project(jnp.asarray(
+            rays, jnp.float64)))
+        # current pixel coords of the matched ids
+        id2uv = {int(i): kf.window_uv[k] for k, i in enumerate(kf.point_ids)}
+        uv_cur = np.stack([id2uv.get(int(i), np.zeros(2))
+                           for i in match["ids"]])
+        return draw_loop_match(kf.image, old.image, uv_cur, uv_old)
+
+    # ---------------------------------------------------------- diagnostics
+
+    def debug_track_overlay(self):
+        """Tracking overlay of the latest processed frame
+        (feature_tracker_node.cpp:167-201); None before the first frame."""
+        from .utils.viz import draw_track_overlay
+
+        tr = self.tracker
+        if tr.prev_img is None:
+            return None
+        m = tr.valid
+        return draw_track_overlay(np.asarray(tr.prev_img), tr.pts[m],
+                                  tr.track_cnt[m], window=self.cfg.window * 2)
+
+    def landmarks_world(self) -> np.ndarray:
+        """Current solved landmarks in world coordinates — pubPointCloud's
+        payload (visualization.cpp)."""
+        est = self.estimator
+        db = est.db
+        m = db.used & (db.inv_depth > 0)
+        ks = np.nonzero(m)[0]
+        if len(ks) == 0:
+            return np.zeros((0, 3))
+        Rw = np.asarray(jax.vmap(lie.q2R)(jnp.asarray(est.q)))
+        Ric = np.asarray(lie.q2R(jnp.asarray(est.qic)))
+        a = db.anchor[ks]
+        d = 1.0 / db.inv_depth[ks]
+        rays = np.concatenate(
+            [db.pt[ks, a], np.ones((len(ks), 1))], axis=1) * d[:, None]
+        Xc = rays @ Ric.T + est.tic
+        return np.einsum("kij,kj->ki", Rw[a], Xc) + est.p[a]
+
+    def print_statistics(self) -> str:
+        """Periodic textual report (printStatistics, visualization.cpp:
+        92-137): pose, extrinsics, td, path length, stage timings."""
+        est = self.estimator
+        lines = []
+        p = est.p[est.W]
+        lines.append(f"position: [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}]  "
+                     f"cost: {est.last_cost:.3e}  failures: {est.failures}")
+        lines.append(f"extrinsic tic: {np.round(est.tic, 4).tolist()}  "
+                     f"qic: {np.round(est.qic, 5).tolist()}  td: {est.td*1e3:.2f} ms")
+        if len(self.trajectory) >= 2:
+            pp = np.stack([e[1] for e in self.trajectory])
+            lines.append(f"path length: {np.linalg.norm(np.diff(pp, axis=0), axis=1).sum():.2f} m "
+                         f"over {len(self.trajectory)} frames")
+        if self.pose_graph is not None:
+            nl = sum(1 for k in self.pose_graph.keyframes if k.loop_index >= 0)
+            lines.append(f"pose graph: {len(self.pose_graph.keyframes)} keyframes, "
+                         f"{nl} loop edges")
+        lines.append(self.tracer.stats.report())
+        return "\n".join(lines)
 
     def _fast_relocalize(self):
         """Route the loop match back through the estimator for a BA-refined
