@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Multi-chip scaling benchmark on the virtual CPU mesh.
+
+Measures the distributed Schur BA (landmarks sharded, reduced camera system
+psum-assembled — vins_tpu/parallel/sharded.py) at production shape and
+reports scaling efficiency vs the dense single-device solve.
+
+Caveat recorded in the output: this machine exposes N_CORES physical cores;
+virtual devices beyond that time-share cores, so wall-clock efficiency is
+only meaningful up to N_CORES shards.  Above that we report the number with
+`oversubscribed: true` — the analytically relevant quantity there is that
+per-shard FLOPs fall as 1/n while the psum'd reduced system stays a fixed
+[6F × 6F], i.e. the collective payload does not grow with L.
+
+Usage: python tools/bench_scaling.py [--lm 4096] [--frames 11] [--out FILE]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# single-threaded per virtual device: otherwise the 1-device baseline
+# already spreads over all cores via XLA's intra-op threadpool and the
+# speedup measurement is meaningless
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8" \
+    " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lm", type=int, default=4096)
+    ap.add_argument("--frames", type=int, default=11)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="MULTICHIP_SCALING.json")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from vins_tpu.core import lie
+    from vins_tpu.parallel.sharded import make_mesh, make_sharded_ba
+    from vins_tpu.sim.window import build_window_problem
+    from vins_tpu.solver.ba import BAState, ba_solve
+
+    DT = jnp.float64
+    F, L = args.frames, args.lm
+    prob = build_window_problem(frames=F, max_landmarks=L, dtype=DT)
+    st = prob.state_true
+    p_c = st.p + jax.vmap(lambda q: lie.qrotate(q, st.tic))(st.q)
+    q_c = jax.vmap(lambda q: lie.qmul(q, st.qic))(st.q)
+    key = jax.random.PRNGKey(5)
+    state0 = BAState(
+        p=p_c + 0.02 * jax.random.normal(key, p_c.shape, DT),
+        q=q_c,
+        pts=prob.points + 0.05 * jax.random.normal(key, prob.points.shape, DT),
+    )
+    valid = prob.obs.valid
+    pt_mask = valid.sum(1) >= 2
+    fix_pose = jnp.arange(F) == 0
+    fix_pos = fix_pose | (jnp.arange(F) == F - 1)
+    inputs = (state0, prob.obs.pt, valid, fix_pose, fix_pos, pt_mask)
+
+    def timeit(fn, inp, reps):
+        out = fn(*inp)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*inp)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    n_cores = os.cpu_count()
+    results = {"frames": F, "landmarks": L, "iters": args.iters,
+               "physical_cores": n_cores, "shards": []}
+
+    dense = jax.jit(lambda *a: ba_solve(*a, iters=args.iters))
+    t1 = timeit(dense, inputs, args.reps)
+    results["dense_1dev_s"] = t1
+    print(f"dense 1-device: {t1*1e3:.1f} ms", flush=True)
+
+    for n in (2, 4, 8):
+        mesh = make_mesh(jax.devices()[:n], seq=1, lm=n)
+        solve = make_sharded_ba(mesh, iters=args.iters)
+        tn = timeit(solve, inputs, args.reps)
+        speedup = t1 / tn
+        results["shards"].append({
+            "n": n, "time_s": tn, "speedup_vs_dense": speedup,
+            "efficiency": speedup / min(n, n_cores),
+            "oversubscribed": n > n_cores,
+        })
+        print(f"lm={n}: {tn*1e3:.1f} ms  speedup {speedup:.2f}x  "
+              f"eff(vs {min(n, n_cores)} cores) "
+              f"{speedup/min(n, n_cores)*100:.0f}%", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,15 +172,17 @@ class Estimator:
 
             # midpoint propagation of the newest state (same math as the
             # preintegration step, world frame, g = +z·9.81 specific-force
-            # convention: a_w = R(a_m − ba) − g)
-            Rj = np.asarray(lie.q2R(jnp.asarray(self.q[j])))
+            # convention: a_w = R(a_m − ba) − g).  Pure numpy: this runs at
+            # IMU rate on the host — an eager device op here would cost a
+            # device round-trip per sample
+            from .propagator import _delta_q, _quat_mul, _quat_rot
+
             g = np.array([0.0, 0.0, self.cfg.g_norm])
-            un_acc_0 = Rj @ (self.acc_prev - self.ba[j]) - g
+            un_acc_0 = _quat_rot(self.q[j], self.acc_prev - self.ba[j]) - g
             un_gyr = 0.5 * (self.gyr_prev + gyr) - self.bg[j]
-            qj = np.asarray(lie.qmul(jnp.asarray(self.q[j]), lie.deltaQ(jnp.asarray(un_gyr * dt))))
+            qj = _quat_mul(self.q[j], _delta_q(un_gyr * dt))
             qj = qj / np.linalg.norm(qj)
-            Rj1 = np.asarray(lie.q2R(jnp.asarray(qj)))
-            un_acc_1 = Rj1 @ (acc - self.ba[j]) - g
+            un_acc_1 = _quat_rot(qj, acc - self.ba[j]) - g
             un_acc = 0.5 * (un_acc_0 + un_acc_1)
             self.q[j] = qj
             self.p[j] = self.p[j] + dt * self.v[j] + 0.5 * dt * dt * un_acc
