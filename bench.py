@@ -1,39 +1,48 @@
-"""Benchmark: steady-state fused VIO step throughput on one chip.
+"""Benchmark: end-to-end pipeline frames/s + fused VIO step throughput.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Baseline: the reference's sliding-window optimization takes 50 ms per solve
-on an i7-4790 (tro_technical_report.pdf p.12 Table I; BASELINE.md), i.e.
-20 solves/s — and that covers only the Ceres solve + marginalization, which
-is exactly what the fused step measures here (plus triangulation and
-preintegration, which the reference's budget counts separately).
-vs_baseline = our steps/s ÷ 20.
+Headline metric: full-pipeline frames/s on one chip — images → CLAHE → KLT →
+Shi-Tomasi top-up → F-RANSAC → estimator (fused LM/Schur step incl.
+marginalization) with loop closure on, driven by the textured-room proxy
+(sim/proxy.py).  Baseline: the reference runs real time at a 20 Hz camera
+(README.md:120; tro Table I times on an i7-4790), so vs_baseline = fps / 20.
+
+Extra fields:
+  * fused_step_steps_per_s — the estimator device program alone; reference
+    budget = 50 ms/solve (Table I) → vs 20 solves/s.
+  * frontend_ms / estimator_ms / pose_graph_ms — per-stage host wall means.
 """
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
+import numpy as np
 
-from vins_tpu.estimator.step import make_vio_step
-from vins_tpu.imu.preintegration import ImuNoise
-from vins_tpu.solver.gn import SolverOptions
-from __graft_entry__ import _window_inputs
-
-REFERENCE_STEPS_PER_S = 20.0  # 50 ms/solve on i7-4790 (Table I)
+REF_CAMERA_HZ = 20.0     # real-time operating point (README.md:120)
+REF_SOLVES_PER_S = 20.0  # 50 ms/solve on i7-4790 (tro Table I)
 
 
-def main():
+def bench_fused_step():
+    from __graft_entry__ import _window_inputs
+    from vins_tpu.estimator.step import make_vio_step
+    from vins_tpu.imu.preintegration import ImuNoise
+    from vins_tpu.solver.gn import SolverOptions
+
     dtype = jnp.float32
-    layout, args = _window_inputs(frames=11, max_landmarks=160, imu_n=22, dtype=dtype)
+    layout, args = _window_inputs(frames=11, max_landmarks=160, imu_n=22,
+                                  dtype=dtype)
     step = make_vio_step(layout, ImuNoise(), SolverOptions(iters=8))
-
-    # warm-up/compile
     out = step(*args)
     jax.block_until_ready(out)
-
-    # steady-state: feed the solved state back in (keeps the work honest and
-    # the arrays on-device)
     iters = 200
     t0 = time.perf_counter()
     state = args[0]
@@ -41,15 +50,80 @@ def main():
         out = step(state, *args[1:])
         state = out.state
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    return iters / (time.perf_counter() - t0)
 
-    steps_per_s = iters / dt
-    print(json.dumps({
-        "metric": "fused_vio_step_throughput",
-        "value": round(steps_per_s, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),
-    }))
+
+def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
+    """Steady-state pipeline throughput: all sensor data pre-generated
+    (device-resident images), timing covers tracker + estimator + loop."""
+    from vins_tpu.sim.proxy import TIC, make_pipeline
+    from vins_tpu.sim.render import Room, RoomRenderer
+    from vins_tpu.sim.synthetic import Trajectory
+    from vins_tpu.sim.window import R_IC_FORWARD
+
+    pipe = make_pipeline(loop_closure=True, pg_skip_first_cnt=5)
+    traj = Trajectory.circuit(radius=4.0, period=12.0, height=1.0)
+    gravity = jnp.asarray([0.0, 0.0, 9.81], jnp.float64)
+    renderer = RoomRenderer(pipe.camera, 480, 752,
+                            room=Room.make(jax.random.PRNGKey(7)),
+                            tic=TIC, Ric=np.asarray(R_IC_FORWARD))
+    imu_at = jax.jit(lambda t: traj.imu_at(t, gravity))
+    frame_at = jax.jit(lambda t: (traj.pos_fn(t), traj.q(t)))
+
+    imu_hz = 200.0
+    n_sub = int(imu_hz / frame_hz)
+    dt_i = 1.0 / imu_hz
+    t0s = 1.0
+    ba = np.array([0.02, -0.01, 0.015])
+    bg = np.array([0.002, 0.003, -0.001])
+
+    frames = []
+    for fi in range(n_frames):
+        t = t0s + fi / frame_hz
+        imu = []
+        if fi > 0:
+            for s in range(1, n_sub + 1):
+                ti = t - 1.0 / frame_hz + s * dt_i
+                a, w = imu_at(jnp.asarray(ti))
+                imu.append((ti, np.asarray(a) + ba, np.asarray(w) + bg))
+        p, q = frame_at(jnp.asarray(t))
+        img = renderer.render_device(p, q)
+        frames.append((t, imu, img))
+    jax.block_until_ready(frames[-1][2])
+
+    # warm-up segment (compiles every program variant incl. init + loop)
+    warm = min(40, n_frames // 3)
+    for t, imu, img in frames[:warm]:
+        for ti, a, w in imu:
+            pipe.process_imu(ti, a, w)
+        pipe.process_image(img, t)
+
+    t0 = time.perf_counter()
+    for t, imu, img in frames[warm:]:
+        for ti, a, w in imu:
+            pipe.process_imu(ti, a, w)
+        pipe.process_image(img, t)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - warm) / dt
+    stats = pipe.tracer.stats.snapshot()
+    return fps, stats
+
+
+def main():
+    steps_per_s = bench_fused_step()
+    fps, stats = bench_pipeline()
+    out = {
+        "metric": "pipeline_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_CAMERA_HZ, 2),
+        "fused_step_steps_per_s": round(steps_per_s, 2),
+        "fused_step_vs_baseline": round(steps_per_s / REF_SOLVES_PER_S, 2),
+    }
+    for stage in ("frontend", "estimator", "pose_graph"):
+        if stage in stats:
+            out[f"{stage}_ms"] = stats[stage]["mean_ms"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VinsConfig
-from ..core import lie
+from ..core import lie, nplie
 from ..imu.preintegration import ImuNoise
 from ..init.ex_rotation import ExRotBuffer, calibrate_ex_rotation, push_pair
 from ..init.relative_pose import solve_relative_pose
@@ -65,7 +65,7 @@ class Estimator:
         self.initializer = Initializer(self.noise, cfg.g_norm, cfg.focal, dtype)
 
         # extrinsics (body←camera)
-        self.qic = np.asarray(lie.R2q(jnp.asarray(cfg.extrinsic_R, dtype)))
+        self.qic = nplie.R2q(np.asarray(cfg.extrinsic_R, float))
         self.tic = np.asarray(cfg.extrinsic_t, float)
         self.ex_calib_done = cfg.estimate_extrinsic != 2
         self._ex_buf = ExRotBuffer.empty(64, dtype)
@@ -322,9 +322,9 @@ class Estimator:
         F, W = self.F, self.W
         if marg_old:
             # re-anchor depths using pre-slide camera poses of frames 0,1
-            R0 = np.asarray(lie.q2R(jnp.asarray(self.q[0])))
-            R1 = np.asarray(lie.q2R(jnp.asarray(self.q[1])))
-            Ric = np.asarray(lie.q2R(jnp.asarray(self.qic)))
+            R0 = nplie.q2R(self.q[0])
+            R1 = nplie.q2R(self.q[1])
+            Ric = nplie.q2R(self.qic)
             p_c0 = self.p[0] + R0 @ self.tic
             p_c1 = self.p[1] + R1 @ self.tic
             self.db.slide_old(p_c0, R0 @ Ric, p_c1, R1 @ Ric)
@@ -407,7 +407,7 @@ class Estimator:
         X = np.zeros((L, 3))
         x_old = np.zeros((L, 2))
         ok_m = np.zeros(L, bool)
-        Ric = np.asarray(lie.q2R(jnp.asarray(self.qic)))
+        Ric = nplie.q2R(self.qic)
         n = 0
         for fid, pt in zip(np.asarray(match_ids), np.asarray(match_pts_norm)):
             k = slot_of.get(int(fid))
@@ -415,7 +415,7 @@ class Estimator:
                 continue
             a = int(self.db.anchor[k])
             ray = np.append(self.db.pt[k, a], 1.0) / self.db.inv_depth[k]
-            Ra = np.asarray(lie.q2R(jnp.asarray(self.q[a])))
+            Ra = nplie.q2R(self.q[a])
             X[n] = Ra @ (Ric @ ray + self.tic) + self.p[a]
             x_old[n] = pt[:2]
             ok_m[n] = True
@@ -425,9 +425,9 @@ class Estimator:
 
         # init: the matched window frame's camera pose (vector2double inits
         # relo_Pose from para_Pose[relo_frame_local_index])
-        Rb = np.asarray(lie.q2R(jnp.asarray(self.q[col])))
+        Rb = nplie.q2R(self.q[col])
         p0 = self.p[col] + Rb @ self.tic
-        q0 = lie.qmul(jnp.asarray(self.q[col]), jnp.asarray(self.qic))
+        q0 = nplie.qmul(self.q[col], self.qic)
 
         res = refine_relo_pose(
             jnp.asarray(X, self.dtype), jnp.asarray(x_old, self.dtype),
@@ -436,8 +436,8 @@ class Estimator:
         if not bool(res.ok):
             return None
         # old keyframe BODY pose in the current world
-        q_old_b = lie.qmul(res.q, lie.qconj(jnp.asarray(self.qic)))
-        p_old_b = np.asarray(res.p) - np.asarray(lie.q2R(q_old_b)) @ self.tic
+        q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
+        p_old_b = np.asarray(res.p) - nplie.q2R(q_old_b) @ self.tic
         rel_t, rel_q, rel_yaw = relative_pose_4dof(
             jnp.asarray(p_old_b, self.dtype), q_old_b,
             jnp.asarray(self.p[col], self.dtype), jnp.asarray(self.q[col], self.dtype),
@@ -471,11 +471,12 @@ class Estimator:
         n = int(self.imu_n[k])
         if n == 0:
             return
-        q_imu = jnp.asarray([1.0, 0, 0, 0], self.dtype)
+        q_imu = np.array([1.0, 0, 0, 0])
         for i in range(n):
             w = 0.5 * (self.imu_gyr[k, i] + self.imu_gyr[k, i + 1]) - self.bg[col]
-            q_imu = lie.qmul(q_imu, lie.deltaQ(jnp.asarray(w * self.imu_dt[k, i], self.dtype)))
-        self._ex_buf = push_pair(self._ex_buf, q_cam, lie.qnormalize(q_imu))
+            q_imu = nplie.qmul(q_imu, nplie.deltaQ(w * self.imu_dt[k, i]))
+        self._ex_buf = push_pair(self._ex_buf, q_cam,
+                                 jnp.asarray(nplie.qnormalize(q_imu), self.dtype))
         q_ic, ok, self._ex_buf = calibrate_ex_rotation(self._ex_buf)
         if bool(ok):
             self.qic = np.asarray(q_ic)

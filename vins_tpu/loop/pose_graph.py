@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie
+from ..core import lie, nplie
 from .brief import brief_describe, fast_detect, match_descriptors, smooth_for_brief
 from .optimize4dof import GraphArrays, drift_from, optimize_4dof
 from .retrieval import KeyframeDB, pick_loop_candidate
@@ -31,11 +31,12 @@ from .verify import pnp_ransac, relative_check
 
 
 def _ypr(q):
-    return np.array(lie.R2ypr(lie.q2R(jnp.asarray(q))))
+    # host bookkeeping: numpy, not an eager device op per keyframe
+    return nplie.R2ypr(nplie.q2R(q))
 
 
 def _yawR(yaw_deg):
-    return np.array(lie.ypr2R(jnp.asarray([yaw_deg, 0.0, 0.0])))
+    return nplie.ypr2R(np.array([float(yaw_deg), 0.0, 0.0]))
 
 
 class KeyFrame:
@@ -125,9 +126,9 @@ class PoseGraph:
             self.seq_shift[kf.sequence] = (np.eye(3), np.zeros(3))
         Rs, ts = self.seq_shift[kf.sequence]
         kf.p_vio = Rs @ kf.p_vio + ts
-        kf.q_vio = np.array(lie.qmul(lie.R2q(jnp.asarray(Rs)), jnp.asarray(kf.q_vio)))
+        kf.q_vio = nplie.qmul(nplie.R2q(Rs), kf.q_vio)
         kf.p = self.r_drift @ kf.p_vio + self.t_drift
-        kf.q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(kf.q_vio)))
+        kf.q = nplie.qmul(nplie.R2q(self.r_drift), kf.q_vio)
 
         i = len(self.keyframes)
         kf.index = i
@@ -180,10 +181,10 @@ class PoseGraph:
         X = jnp.asarray(kf.points_3d, jnp.float64)
         x_old = jnp.asarray(np.array(old.fast_pts)[midx], jnp.float64)
         # initial guess: current keyframe CAMERA pose from VIO
-        Ric = np.array(lie.q2R(jnp.asarray(self.qic)))
-        R_b = np.array(lie.q2R(jnp.asarray(kf.q_vio)))
+        Ric = nplie.q2R(self.qic)
+        R_b = nplie.q2R(kf.q_vio)
         p_c0 = kf.p_vio + R_b @ self.tic
-        q_c0 = lie.qmul(jnp.asarray(kf.q_vio), jnp.asarray(self.qic))
+        q_c0 = jnp.asarray(nplie.qmul(kf.q_vio, self.qic))
 
         self._key, sub = jax.random.split(self._key)
         res = pnp_ransac(
@@ -193,8 +194,8 @@ class PoseGraph:
         if not bool(res.ok):
             return False
         # old keyframe BODY pose implied by PnP (in the current world)
-        q_old_b = lie.qmul(res.q, lie.qconj(jnp.asarray(self.qic)))
-        p_old_b = np.array(res.p) - np.array(lie.q2R(q_old_b)) @ self.tic
+        q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
+        p_old_b = np.array(res.p) - nplie.q2R(q_old_b) @ self.tic
 
         rel_t, rel_yaw, ok = relative_check(
             jnp.asarray(p_old_b), q_old_b,
@@ -219,9 +220,7 @@ class PoseGraph:
         kf.loop_index = old_idx
         kf.loop_rel_t = np.array(rel_t)
         kf.loop_rel_yaw = float(rel_yaw)
-        kf.loop_rel_q = np.array(
-            lie.qmul(lie.qconj(q_old_b), jnp.asarray(kf.q_vio))
-        )
+        kf.loop_rel_q = nplie.qmul(nplie.qconj(q_old_b), kf.q_vio)
         g = self._graph
         self._graph = g._replace(
             loop_to=g.loop_to.at[kf.index].set(old_idx),
@@ -238,7 +237,7 @@ class PoseGraph:
 
     def _merge_sequences(self, kf: KeyFrame, old: KeyFrame):
         """yaw+t shift mapping kf's sequence onto the old sequence's world."""
-        R_old = np.array(lie.q2R(jnp.asarray(old.q)))
+        R_old = nplie.q2R(old.q)
         w_P_cur = old.p + R_old @ kf.loop_rel_t
         yaw_shift = _ypr(old.q)[0] + kf.loop_rel_yaw - _ypr(kf.q_vio)[0]
         Rsh = _yawR(yaw_shift)
@@ -249,7 +248,7 @@ class PoseGraph:
         for k in self.keyframes:
             if k.sequence == kf.sequence:
                 k.p_vio = Rsh @ k.p_vio + tsh
-                k.q_vio = np.array(lie.qmul(lie.R2q(jnp.asarray(Rsh)), jnp.asarray(k.q_vio)))
+                k.q_vio = nplie.qmul(nplie.R2q(Rsh), k.q_vio)
                 self._graph = self._graph._replace(
                     t_vio=self._graph.t_vio.at[k.index].set(jnp.asarray(k.p_vio)),
                     ypr_vio=self._graph.ypr_vio.at[k.index].set(jnp.asarray(_ypr(k.q_vio))),
@@ -275,12 +274,12 @@ class PoseGraph:
         t = np.array(g.t)
         for k in self.keyframes[: cur + 1]:
             ypr_v = _ypr(k.q_vio)
-            R = np.array(lie.ypr2R(jnp.asarray([yaw[k.index], ypr_v[1], ypr_v[2]])))
+            R = nplie.ypr2R(np.array([yaw[k.index], ypr_v[1], ypr_v[2]]))
             k.p = t[k.index]
-            k.q = np.array(lie.R2q(jnp.asarray(R)))
+            k.q = nplie.R2q(R)
         for k in self.keyframes[cur + 1 :]:
             k.p = self.r_drift @ k.p_vio + self.t_drift
-            k.q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(k.q_vio)))
+            k.q = nplie.qmul(nplie.R2q(self.r_drift), k.q_vio)
 
     def update_keyframe_loop(self, index: int, rel_t, rel_q, rel_yaw: float):
         """Adopt a BA-refined loop edge from the estimator's fast-
@@ -305,7 +304,7 @@ class PoseGraph:
         # loop edge says it should be, relative to the old keyframe's
         # pose-graph pose
         old = self.keyframes[kf.loop_index]
-        R_old = np.asarray(lie.q2R(jnp.asarray(old.q)))
+        R_old = nplie.q2R(old.q)
         w_P_cur = old.p + R_old @ kf.loop_rel_t
         yaw_cur = _ypr(old.q)[0] + kf.loop_rel_yaw
         shift_r = _yawR(yaw_cur - _ypr(kf.q_vio)[0])
@@ -329,9 +328,9 @@ class PoseGraph:
         sequence shift then loop drift."""
         Rs, ts = self.seq_shift.get(sequence, (np.eye(3), np.zeros(3)))
         p = Rs @ np.asarray(p_vio, float) + ts
-        q = np.array(lie.qmul(lie.R2q(jnp.asarray(Rs)), jnp.asarray(q_vio, float)))
+        q = nplie.qmul(nplie.R2q(Rs), np.asarray(q_vio, float))
         p = self.r_drift @ p + self.t_drift
-        q = np.array(lie.qmul(lie.R2q(jnp.asarray(self.r_drift)), jnp.asarray(q)))
+        q = nplie.qmul(nplie.R2q(self.r_drift), q)
         return p, q
 
     # ------------------------------------------------------------- save/load

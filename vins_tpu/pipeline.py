@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import VinsConfig
-from .core import lie
+from .core import nplie
 from .estimator.estimator import NON_LINEAR, Estimator
 from .estimator.propagator import ImuPropagator
 from .frontend.tracker import FeatureTracker
@@ -192,8 +192,8 @@ class Pipeline:
             return None
         # world landmarks from their anchor frames, one batched op: only F
         # distinct anchor rotations exist — precompute and index
-        Rw = np.asarray(jax.vmap(lie.q2R)(jnp.asarray(est.q)))  # [F,3,3]
-        Ric = np.asarray(lie.q2R(jnp.asarray(est.qic)))
+        Rw = nplie.q2R(est.q)  # [F,3,3] batched numpy, host-side
+        Ric = nplie.q2R(est.qic)
         a = anchors[ks]
         d = 1.0 / db.inv_depth[ks]
         rays = np.concatenate(
@@ -269,8 +269,8 @@ class Pipeline:
         ks = np.nonzero(m)[0]
         if len(ks) == 0:
             return np.zeros((0, 3))
-        Rw = np.asarray(jax.vmap(lie.q2R)(jnp.asarray(est.q)))
-        Ric = np.asarray(lie.q2R(jnp.asarray(est.qic)))
+        Rw = nplie.q2R(est.q)
+        Ric = nplie.q2R(est.qic)
         a = db.anchor[ks]
         d = 1.0 / db.inv_depth[ks]
         rays = np.concatenate(
