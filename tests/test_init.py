@@ -181,3 +181,40 @@ def test_ex_rotation_calibration(prob):
     # ...but the estimate itself is still exact with perfect data
     qe2 = lie.qmul(lie.qconj(q2), q_ic_gt)
     assert abs(float(qe2[0])) > 1.0 - 1e-8
+
+
+def test_all_frames_initialization_path():
+    """The all_image_frame-parity init (estimator.cpp:340-440): delay the
+    first init attempt until the aux ring holds non-keyframe history, then
+    initialize — the solve must take the all-frames path (PnP per published
+    frame + masked alignment over the full chain) and be accurate."""
+    import numpy as np
+
+    from vins_tpu.config import VinsConfig
+    from vins_tpu.estimator.estimator import NON_LINEAR, Estimator
+    from vins_tpu.sim.driver import SyntheticDriver
+    from vins_tpu.sim.window import R_IC_FORWARD
+
+    cfg = VinsConfig(max_landmarks=160, g_norm=9.81,
+                     extrinsic_R=R_IC_FORWARD,
+                     extrinsic_t=(0.06, -0.01, 0.02))
+    est = Estimator(cfg, imu_buf_len=64)
+    est.initial_timestamp = 1e18  # block init attempts while the ring fills
+    driver = SyntheticDriver(imu_hz=200.0, frame_hz=10.0, g_norm=9.81)
+    driver.run(est, n_frames=18)
+    assert est.solver_flag != NON_LINEAR
+    assert min(est.aux_count, est.A) >= est.F + 2
+
+    est.initial_timestamp = -1e18
+    run = driver.run(est, n_frames=3, t0=1.0 + 18 / 10.0)
+    assert est.solver_flag == NON_LINEAR
+    assert est.last_init.ok
+    assert est.last_init.reason == "ok (all frames)", est.last_init.reason
+    # gyro bias recovered from the full chain (true bias injected by driver)
+    np.testing.assert_allclose(est.last_init.bg, [0.002, 0.003, -0.001],
+                               atol=2e-3)
+    # metric scale = the (arbitrary-unit) SfM baseline made metric; must be
+    # positive and the post-init VIO must run clean
+    assert est.last_init.scale > 0.05
+    kinds = [e["kind"] for e in run.events]
+    assert kinds.count("vio") >= 1 and "reboot" not in kinds, kinds

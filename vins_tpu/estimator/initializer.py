@@ -114,8 +114,9 @@ def make_align_all_pipeline(noise: ImuNoise, g_norm: float):
         q_wb_a = jax.vmap(lambda qc: lie.qmul(qc, lie.qconj(q_ci)))(q_a)
 
         # interval j chains aux frames j→j+1; valid iff frame j+1 is real
-        # (aux frames are a chronological valid prefix)
-        int_mask = aux_fmask[1:].astype(dtype)
+        # (aux frames are a chronological valid prefix).  Bool: the
+        # alignment mask handling needs logical ops on it.
+        int_mask = aux_fmask[1:]
         pres0 = jax.vmap(
             lambda d, a, g, m: preintegrate(d, a, g, zero3, zero3, noise, m)
         )(aux_dt, aux_acc, aux_gyr, aux_mask)

@@ -38,8 +38,9 @@ def solve_gyro_bias(
         pres.dq, q_ij
     )
     if mask is not None:
-        J = J * mask[:, None, None]
-        err = err * mask[:, None]
+        m = mask.astype(J.dtype)
+        J = J * m[:, None, None]
+        err = err * m[:, None]
     A = jnp.einsum("kij,kil->jl", J, J)
     b = jnp.einsum("kij,ki->j", J, err)
     return spd_solve(A + 1e-10 * jnp.eye(3, dtype=A.dtype), b)
@@ -104,6 +105,7 @@ def _build_lin_system(
 def _velocity_pin(F: int, mask: jax.Array, dtype) -> jax.Array:
     """Unit-diagonal entries pinning the velocity of frames that touch no
     valid interval (keeps the masked normal equations SPD)."""
+    mask = mask.astype(bool)
     zero = jnp.zeros(1, bool)
     act = jnp.concatenate([mask, zero]) | jnp.concatenate([zero, mask])  # [F]
     pin = jnp.where(jnp.repeat(act, 3), 0.0, 1.0).astype(dtype)  # [3F]
