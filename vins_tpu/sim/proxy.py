@@ -76,7 +76,7 @@ def run_proxy(
     imu_noise: bool = True,
     pix_noise: float = 2.0,
     pipe: Pipeline | None = None,
-    tex_k: int = 48,
+    tex_k: int = 96,
     progress=None,
 ) -> ProxyRun:
     rng = np.random.default_rng(seed)

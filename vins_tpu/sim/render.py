@@ -27,18 +27,32 @@ import numpy as np
 from ..core import lie
 
 
-def spectral_texture_params(key, k: int = 48, f_lo: float = 2.0,
-                            f_hi: float = 96.0):
-    """Random plane-wave components for one face: frequencies log-uniform in
-    [f_lo, f_hi] cycles/span, amplitude ∝ 1/f (fractal spectrum), random
-    orientation + phase.  Returns [K, 4] rows (fu, fv, phase, amp)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    f = jnp.exp(jax.random.uniform(k1, (k,), minval=jnp.log(f_lo),
-                                   maxval=jnp.log(f_hi)))
-    th = jax.random.uniform(k2, (k,), minval=0.0, maxval=2 * jnp.pi)
-    ph = jax.random.uniform(k3, (k,), minval=0.0, maxval=2 * jnp.pi)
-    amp = 1.0 / jnp.sqrt(f)
-    amp = amp / jnp.sum(amp)
+def spectral_texture_params(key, k: int = 96, f_lo: float = 2.0,
+                            f_mid: float = 64.0, f_hi: float = 400.0,
+                            hi_amp: float = 0.12):
+    """Random plane-wave components for one face, two bands: a fractal
+    (amp ∝ 1/√f) low band in [f_lo, f_mid] cycles/span for large-scale
+    structure + a flat-amplitude high band in [f_mid, f_hi] that puts
+    few-pixel-scale contrast in the image — FAST/BRIEF need step-like
+    detail that a pure 1/f spectrum lacks.  Measured on the circuit scene:
+    1/√f alone → FAST ≈ 0 corners; hi_amp 0.12/f_hi 400 → FAST saturates
+    (256/256) while KLT track survival stays ~120/150 per frame (stronger
+    high bands shimmer under motion and halve survival).  Returns [K, 4]
+    rows (fu, fv, phase, amp)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    kl = k // 2
+    kh = k - kl
+    f1 = jnp.exp(jax.random.uniform(k1, (kl,), minval=jnp.log(f_lo),
+                                    maxval=jnp.log(f_mid)))
+    a1 = 1.0 / jnp.sqrt(f1)
+    a1 = 0.5 * a1 / jnp.sum(a1)
+    f2 = jnp.exp(jax.random.uniform(k2, (kh,), minval=jnp.log(f_mid),
+                                    maxval=jnp.log(f_hi)))
+    a2 = jnp.full((kh,), hi_amp / jnp.sqrt(kh))
+    f = jnp.concatenate([f1, f2])
+    amp = jnp.concatenate([a1, a2])
+    th = jax.random.uniform(k3, (k,), minval=0.0, maxval=2 * jnp.pi)
+    ph = jax.random.uniform(k4, (k,), minval=0.0, maxval=2 * jnp.pi)
     return jnp.stack([f * jnp.cos(th), f * jnp.sin(th), ph, amp], -1)
 
 
@@ -62,7 +76,7 @@ class Room(NamedTuple):
 
     @staticmethod
     def make(key=None, lo=(-8.0, -8.0, -2.0), hi=(8.0, 8.0, 4.0),
-             k: int = 48):
+             k: int = 96):
         key = key if key is not None else jax.random.PRNGKey(7)
         keys = jax.random.split(key, 6)
         tex = jnp.stack([spectral_texture_params(keys[i], k) for i in range(6)])
