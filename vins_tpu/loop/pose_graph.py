@@ -155,9 +155,11 @@ class PoseGraph:
                                         newest_kf=kf.index)
             cand = pick_loop_candidate(idx, scores)
             out["scores"] = scores
+            out["candidate"] = cand
         self.db.add(kf.fast_desc, kf.fast_valid, kf_index=kf.index)
         if cand is not None:
-            ok = self._find_connection(kf, int(cand))
+            ok, why = self._find_connection(kf, int(cand))
+            out["verify"] = why
             if ok:
                 out["loop"] = int(cand)
                 self._optimize(kf.index)
@@ -165,9 +167,10 @@ class PoseGraph:
 
     # ------------------------------------------------------- loop validation
 
-    def _find_connection(self, kf: KeyFrame, old_idx: int) -> bool:
+    def _find_connection(self, kf: KeyFrame, old_idx: int):
         """findConnection (keyframe.cpp:259-520): window BRIEF ↔ old FAST
-        BRIEF matching, then PnP-RANSAC on (cur 3D, old 2D)."""
+        BRIEF matching, then PnP-RANSAC on (cur 3D, old 2D).  Returns
+        (ok, diagnostic) — the diagnostic names the rejecting gate."""
         old = self.keyframes[old_idx]
         midx, mok = match_descriptors(
             kf.window_desc, kf.window_valid, old.fast_desc, old.fast_valid
@@ -175,7 +178,7 @@ class PoseGraph:
         midx = np.array(midx)
         mok = np.array(mok)
         if mok.sum() < self.min_loop_inliers:
-            return False
+            return False, f"desc_matches={int(mok.sum())}" 
 
         Lw = len(kf.points_3d)
         X = jnp.asarray(kf.points_3d, jnp.float64)
@@ -192,7 +195,7 @@ class PoseGraph:
             min_inliers=self.min_loop_inliers,
         )
         if not bool(res.ok):
-            return False
+            return False, f"pnp_inliers={int(res.n_inliers)}"
         # old keyframe BODY pose implied by PnP (in the current world)
         q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
         p_old_b = np.array(res.p) - nplie.q2R(q_old_b) @ self.tic
@@ -202,7 +205,8 @@ class PoseGraph:
             jnp.asarray(kf.p_vio), jnp.asarray(kf.q_vio),
         )
         if not bool(ok):
-            return False
+            return False, (f"relative_check dt={np.round(np.asarray(rel_t),2)}"
+                           f" dyaw={float(rel_yaw):.1f}")
 
         # fast-relocalization feedback payload: matched (feature id, old-kf
         # normalized point) pairs — the reference's /pose_graph/match_points
@@ -233,7 +237,7 @@ class PoseGraph:
         # map merge: first loop from a non-base sequence (pose_graph.cpp:103-124)
         if kf.sequence != old.sequence and kf.sequence not in getattr(self, "_merged", set()):
             self._merge_sequences(kf, old)
-        return True
+        return True, "ok" 
 
     def _merge_sequences(self, kf: KeyFrame, old: KeyFrame):
         """yaw+t shift mapping kf's sequence onto the old sequence's world."""

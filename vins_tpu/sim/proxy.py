@@ -50,7 +50,8 @@ def euroc_camera(dtype=jnp.float32) -> PinholeCamera:
 
 
 def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
-                  pg_skip_first_cnt: int = 10, **cfg_kw) -> Pipeline:
+                  pg_skip_first_cnt: int = 10, dtype=jnp.float64,
+                  **cfg_kw) -> Pipeline:
     cam = euroc_camera()
     cfg = VinsConfig(
         image_width=EUROC_W, image_height=EUROC_H,
@@ -64,7 +65,7 @@ def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
         loop_closure=loop_closure, pg_skip_first_cnt=pg_skip_first_cnt,
         **cfg_kw,
     )
-    return Pipeline(cfg, cam, imu_buf_len=64)
+    return Pipeline(cfg, cam, imu_buf_len=64, dtype=dtype)
 
 
 def run_proxy(
