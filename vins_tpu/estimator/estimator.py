@@ -299,6 +299,12 @@ class Estimator:
             obs, needs_tri, self.prior, self.gravity,
             jnp.asarray(bool(marg_old)), jnp.asarray(self.last_p, dt),
         )
+        # ONE batched device->host transfer for the whole result: per-array
+        # fetches each pay a full round-trip on remote-attached devices
+        # (measured ~220 ms/array through a tunnel vs ~free batched).  The
+        # prior stays on device for the next step.
+        prior_dev = res.prior
+        res = jax.device_get(res._replace(prior=None))
 
         if failure_check:
             few_feats = self.db.count_tracked(self.F - 1) < 2
@@ -308,7 +314,7 @@ class Estimator:
                 return {"ok": False, "reason": "failure detection"}
 
         self._adopt_state(res.state)
-        self.prior = res.prior
+        self.prior = prior_dev
         self.db.remove_failures(np.asarray(res.inv_depth))
         self.last_cost = float(res.cost)
         self._slide(marg_old)
@@ -429,19 +435,19 @@ class Estimator:
         p0 = self.p[col] + Rb @ self.tic
         q0 = nplie.qmul(self.q[col], self.qic)
 
-        res = refine_relo_pose(
+        res = jax.device_get(refine_relo_pose(
             jnp.asarray(X, self.dtype), jnp.asarray(x_old, self.dtype),
-            jnp.asarray(ok_m), jnp.asarray(p0, self.dtype), q0,
-        )
+            jnp.asarray(ok_m), jnp.asarray(p0, self.dtype), jnp.asarray(q0),
+        ))
         if not bool(res.ok):
             return None
         # old keyframe BODY pose in the current world
         q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
         p_old_b = np.asarray(res.p) - nplie.q2R(q_old_b) @ self.tic
-        rel_t, rel_q, rel_yaw = relative_pose_4dof(
-            jnp.asarray(p_old_b, self.dtype), q_old_b,
+        rel_t, rel_q, rel_yaw = jax.device_get(relative_pose_4dof(
+            jnp.asarray(p_old_b, self.dtype), jnp.asarray(q_old_b),
             jnp.asarray(self.p[col], self.dtype), jnp.asarray(self.q[col], self.dtype),
-        )
+        ))
         return {
             "ok": True,
             "rel_t": np.asarray(rel_t),
@@ -458,11 +464,11 @@ class Estimator:
             return
         # camera rotation from the essential solve between the two frames
         key = jax.random.PRNGKey(self.frame_count)
-        rel = solve_relative_pose(
+        rel = jax.device_get(solve_relative_pose(
             jnp.asarray(self.db.pt[:, col - 1], self.dtype),
             jnp.asarray(self.db.pt[:, col], self.dtype),
             jnp.asarray(both), key, min_corres=9, min_inliers=8,
-        )
+        ))
         if not bool(rel.ok):
             return
         q_cam = lie.R2q(jnp.asarray(rel.R, self.dtype))

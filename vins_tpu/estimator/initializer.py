@@ -196,12 +196,12 @@ class Initializer:
             if parallax * self.focal < 30.0:
                 continue
             self._key, sub = jax.random.split(self._key)
-            rel = solve_relative_pose(
+            rel = jax.device_get(solve_relative_pose(
                 jnp.asarray(db.pt[:, l], self.dtype),
                 jnp.asarray(db.pt[:, F - 1], self.dtype),
                 jnp.asarray(db.valid[:, l] & db.valid[:, F - 1] & db.used),
                 sub,
-            )
+            ))
             if bool(rel.ok):
                 return l, rel
         return None
@@ -284,7 +284,7 @@ class Initializer:
         if est is not None and win_ts is not None:
             aux = self._build_aux_inputs(db, est, np.asarray(win_ts))
         if aux is not None:
-            Ps, q, Vs, dbg, s, sfm_ok, align_ok = self._pipeline_all(
+            Ps, q, Vs, dbg, s, sfm_ok, align_ok = jax.device_get(self._pipeline_all(
                 pt, valid, jnp.asarray(l),
                 jnp.asarray(rel.R, dtj), jnp.asarray(rel.t, dtj),
                 jnp.asarray(qic, dtj), jnp.asarray(tic, dtj),
@@ -293,7 +293,7 @@ class Initializer:
                 jnp.asarray(aux["win_idx"]), jnp.asarray(aux["win_sel"]),
                 jnp.asarray(aux["dt"], dtj), jnp.asarray(aux["acc"], dtj),
                 jnp.asarray(aux["gyr"], dtj), jnp.asarray(aux["imask"]),
-            )
+            ))
             if bool(sfm_ok) and bool(align_ok):
                 return InitResult(
                     True, "ok (all frames)",
@@ -304,7 +304,7 @@ class Initializer:
 
         N = imu_dt.shape[1]
         mask = np.arange(N)[None, :] < imu_n[:, None]
-        Ps, q, Vs, dbg, s, sfm_ok, align_ok = self._pipeline(
+        Ps, q, Vs, dbg, s, sfm_ok, align_ok = jax.device_get(self._pipeline(
             pt, valid, jnp.asarray(l),
             jnp.asarray(rel.R, dtj),
             jnp.asarray(rel.t, dtj),
@@ -314,7 +314,7 @@ class Initializer:
             jnp.asarray(imu_acc, dtj),
             jnp.asarray(imu_gyr, dtj),
             jnp.asarray(mask),
-        )
+        ))
         if not bool(sfm_ok):
             return InitResult(False, "global SfM failed", g_var=g_var)
         if not bool(align_ok):

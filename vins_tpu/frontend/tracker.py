@@ -91,13 +91,13 @@ class FeatureTracker:
 
         # --- track ---------------------------------------------------------
         if self.prev_img is not None and self.valid.any():
-            new_pts, status = lk_pyramidal(
+            new_pts, status = jax.device_get(lk_pyramidal(
                 self.prev_img, im,
                 jnp.asarray(self.pts, self.dtype), jnp.asarray(self.valid),
                 win=self.win, levels=self.levels,
-            )
+            ))
             self.pts = np.array(new_pts, float)
-            self.valid &= np.array(status)
+            self.valid &= status
             if self.mask is not None:
                 xi = np.clip(self.pts[:, 0].astype(int), 0, self.mask.shape[1] - 1)
                 yi = np.clip(self.pts[:, 1].astype(int), 0, self.mask.shape[0] - 1)
@@ -111,7 +111,7 @@ class FeatureTracker:
         # --- undistort + velocity ------------------------------------------
         un = np.full((self.M, 2), np.nan)
         if self.valid.any():
-            rays = np.array(self._lift(jnp.asarray(self.pts, self.dtype)))
+            rays = jax.device_get(self._lift(jnp.asarray(self.pts, self.dtype)))
             un = rays[:, :2] / rays[:, 2:3]
         vel = np.zeros((self.M, 2))
         dt = (t - self.prev_time) if self.prev_time is not None else None
@@ -146,7 +146,7 @@ class FeatureTracker:
         if m.sum() < 15 or self.prev_img is None:
             return
         idx = np.nonzero(m)[0]
-        cur = np.array(self._lift(jnp.asarray(self.pts[idx], self.dtype)))
+        cur = jax.device_get(self._lift(jnp.asarray(self.pts[idx], self.dtype)))
         cur = cur[:, :2] / cur[:, 2:3]
         same = (self.prev_ids[idx] == self.ids[idx]) & (self.prev_ids[idx] >= 0)
         prev = np.where(same[:, None], self.prev_un_pts[idx], np.nan)
@@ -166,9 +166,10 @@ class FeatureTracker:
             jnp.asarray(x1, jnp.float64), jnp.asarray(x2, jnp.float64),
             jnp.asarray(v), sub, thresh=self.f_threshold / self.focal,
         )
+        rel = jax.device_get(rel)
         if not bool(rel.ok):
             return
-        inl = np.array(rel.inliers)[: ok.sum()]
+        inl = np.asarray(rel.inliers)[: ok.sum()]
         bad = idx[ok][~inl]
         self.valid[bad] = False
 
@@ -180,12 +181,10 @@ class FeatureTracker:
         resp = shi_tomasi_response(im)
         if self.mask is not None:
             resp = jnp.where(jnp.asarray(self.mask), resp, -jnp.inf)
-        pts_new, ok = detect_grid(
+        pts_new, ok = jax.device_get(detect_grid(
             resp, jnp.asarray(self.pts, self.dtype), jnp.asarray(self.valid),
             max_new=self.M, cell=self.min_dist,
-        )
-        pts_new = np.array(pts_new)
-        ok = np.array(ok)
+        ))
         free = np.nonzero(~self.valid)[0]
         take = min(n_free, int(ok.sum()))
         slots = free[:take]

@@ -172,17 +172,16 @@ class PoseGraph:
         BRIEF matching, then PnP-RANSAC on (cur 3D, old 2D).  Returns
         (ok, diagnostic) — the diagnostic names the rejecting gate."""
         old = self.keyframes[old_idx]
-        midx, mok = match_descriptors(
+        midx, mok = jax.device_get(match_descriptors(
             kf.window_desc, kf.window_valid, old.fast_desc, old.fast_valid
-        )
-        midx = np.array(midx)
-        mok = np.array(mok)
+        ))
         if mok.sum() < self.min_loop_inliers:
             return False, f"desc_matches={int(mok.sum())}" 
 
         Lw = len(kf.points_3d)
         X = jnp.asarray(kf.points_3d, jnp.float64)
-        x_old = jnp.asarray(np.array(old.fast_pts)[midx], jnp.float64)
+        old_fast_pts = jax.device_get(old.fast_pts)
+        x_old = jnp.asarray(old_fast_pts[midx], jnp.float64)
         # initial guess: current keyframe CAMERA pose from VIO
         Ric = nplie.q2R(self.qic)
         R_b = nplie.q2R(kf.q_vio)
@@ -190,20 +189,20 @@ class PoseGraph:
         q_c0 = jnp.asarray(nplie.qmul(kf.q_vio, self.qic))
 
         self._key, sub = jax.random.split(self._key)
-        res = pnp_ransac(
+        res = jax.device_get(pnp_ransac(
             X, x_old, jnp.asarray(mok), jnp.asarray(p_c0), q_c0, sub,
             min_inliers=self.min_loop_inliers,
-        )
+        ))
         if not bool(res.ok):
             return False, f"pnp_inliers={int(res.n_inliers)}"
         # old keyframe BODY pose implied by PnP (in the current world)
         q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
         p_old_b = np.array(res.p) - nplie.q2R(q_old_b) @ self.tic
 
-        rel_t, rel_yaw, ok = relative_check(
-            jnp.asarray(p_old_b), q_old_b,
+        rel_t, rel_yaw, ok = jax.device_get(relative_check(
+            jnp.asarray(p_old_b), jnp.asarray(q_old_b),
             jnp.asarray(kf.p_vio), jnp.asarray(kf.q_vio),
-        )
+        ))
         if not bool(ok):
             return False, (f"relative_check dt={np.round(np.asarray(rel_t),2)}"
                            f" dyaw={float(rel_yaw):.1f}")
@@ -211,8 +210,8 @@ class PoseGraph:
         # fast-relocalization feedback payload: matched (feature id, old-kf
         # normalized point) pairs — the reference's /pose_graph/match_points
         # message (keyframe.cpp:488-514)
-        inl = np.array(res.inliers)
-        old_pts = np.array(old.fast_pts)[midx]
+        inl = np.asarray(res.inliers)
+        old_pts = old_fast_pts[midx]
         self.last_match = {
             "kf_index": kf.index,
             "stamp": kf.stamp,

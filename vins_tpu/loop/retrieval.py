@@ -99,10 +99,10 @@ class KeyframeDB:
         keyframes except those within `exclude_last` KEYFRAME indices of
         `newest_kf` (default: the newest stored id); returns (external
         keyframe indices, scores) of the top-k."""
-        scores = np.array(_score_all(
+        scores = jax.device_get(_score_all(
             desc.astype(jnp.float32), valid, self.desc, self.valid,
             self.match_thresh, self.chunk,
-        ))
+        )).copy()
         ids = self.kf_index
         if newest_kf is None:
             newest_kf = int(ids[: self.count].max()) if self.count else 0

@@ -146,6 +146,12 @@ class Pipeline:
             if ev.get("marg_old") and self.pose_graph is not None:
                 with self.tracer.span("pose_graph"):
                     loop = self._handoff_keyframe()
+                kf_res = getattr(self, "last_kf_result", None)
+                if kf_res is not None:
+                    for key in ("scores", "candidate", "verify"):
+                        if key in kf_res:
+                            out[key] = kf_res[key]
+                    self.last_kf_result = None
                 if loop is not None:
                     out["loop"] = loop
         return out
@@ -216,6 +222,7 @@ class Pipeline:
             image=np.asarray(img_kf) if self.cfg.debug_image else None,
         )
         res = self.pose_graph.add_keyframe(kf)
+        self.last_kf_result = res
         self._pg_last_t = np.asarray(p_b, float).copy()
         loop = res.get("loop")
         if loop is not None and self.cfg.fast_relocalization:
