@@ -55,6 +55,8 @@ class VinsConfig:
     pg_skip_first_cnt: int = 10
     pg_skip_cnt: int = 0
     pg_skip_dis: float = 0.0
+    # MIN_LOOP_NUM (keyframe.h:16): matched-descriptor AND PnP-inlier gate
+    min_loop_num: int = 25
     # keep raw images on keyframes + build loop-match overlays (the
     # reference's DEBUG_IMAGE compile flag, keyframe.h/parameters)
     debug_image: bool = False

@@ -166,14 +166,15 @@ class FeatureDB:
     # -- solver view -------------------------------------------------------
 
     def to_obs(self, dtype) -> FeatureObs:
-        import jax.numpy as jnp
-
+        # numpy leaves: jitted consumers batch the host->device transfer of
+        # numpy args into the dispatch (far cheaper over remote devices than
+        # eager per-array jnp.asarray)
         return FeatureObs(
-            pt=jnp.asarray(self.pt, dtype),
-            vel=jnp.asarray(self.vel, dtype),
-            toff=jnp.asarray(self.toff, dtype),
-            valid=jnp.asarray(self.valid),
-            anchor=jnp.asarray(self.anchor),
-            inv_depth=jnp.asarray(self.inv_depth, dtype),
-            active=jnp.asarray(self.active_mask()),
+            pt=np.asarray(self.pt, dtype),
+            vel=np.asarray(self.vel, dtype),
+            toff=np.asarray(self.toff, dtype),
+            valid=self.valid,
+            anchor=self.anchor,
+            inv_depth=np.asarray(self.inv_depth, dtype),
+            active=self.active_mask(),
         )

@@ -91,9 +91,10 @@ class FeatureTracker:
 
         # --- track ---------------------------------------------------------
         if self.prev_img is not None and self.valid.any():
+            npdt = np.float32 if self.dtype == jnp.float32 else np.float64
             new_pts, status = jax.device_get(lk_pyramidal(
                 self.prev_img, im,
-                jnp.asarray(self.pts, self.dtype), jnp.asarray(self.valid),
+                np.asarray(self.pts, npdt), self.valid,
                 win=self.win, levels=self.levels,
             ))
             self.pts = np.array(new_pts, float)
@@ -111,7 +112,8 @@ class FeatureTracker:
         # --- undistort + velocity ------------------------------------------
         un = np.full((self.M, 2), np.nan)
         if self.valid.any():
-            rays = jax.device_get(self._lift(jnp.asarray(self.pts, self.dtype)))
+            npdt = np.float32 if self.dtype == jnp.float32 else np.float64
+            rays = jax.device_get(self._lift(np.asarray(self.pts, npdt)))
             un = rays[:, :2] / rays[:, 2:3]
         vel = np.zeros((self.M, 2))
         dt = (t - self.prev_time) if self.prev_time is not None else None
@@ -146,7 +148,8 @@ class FeatureTracker:
         if m.sum() < 15 or self.prev_img is None:
             return
         idx = np.nonzero(m)[0]
-        cur = jax.device_get(self._lift(jnp.asarray(self.pts[idx], self.dtype)))
+        npdt = np.float32 if self.dtype == jnp.float32 else np.float64
+        cur = jax.device_get(self._lift(np.asarray(self.pts[idx], npdt)))
         cur = cur[:, :2] / cur[:, 2:3]
         same = (self.prev_ids[idx] == self.ids[idx]) & (self.prev_ids[idx] >= 0)
         prev = np.where(same[:, None], self.prev_un_pts[idx], np.nan)
@@ -163,8 +166,7 @@ class FeatureTracker:
         v[: ok.sum()] = True
         self._key, sub = jax.random.split(self._key)
         rel = solve_relative_pose(
-            jnp.asarray(x1, jnp.float64), jnp.asarray(x2, jnp.float64),
-            jnp.asarray(v), sub, thresh=self.f_threshold / self.focal,
+            x1, x2, v, sub, thresh=self.f_threshold / self.focal,
         )
         rel = jax.device_get(rel)
         if not bool(rel.ok):
@@ -181,8 +183,9 @@ class FeatureTracker:
         resp = shi_tomasi_response(im)
         if self.mask is not None:
             resp = jnp.where(jnp.asarray(self.mask), resp, -jnp.inf)
+        npdt = np.float32 if self.dtype == jnp.float32 else np.float64
         pts_new, ok = jax.device_get(detect_grid(
-            resp, jnp.asarray(self.pts, self.dtype), jnp.asarray(self.valid),
+            resp, np.asarray(self.pts, npdt), self.valid,
             max_new=self.M, cell=self.min_dist,
         ))
         free = np.nonzero(~self.valid)[0]

@@ -113,6 +113,11 @@ def solve_relative_pose(
 
     Returns the pose of frame j expressed in frame i (the reference's
     `Rotation = R.tᵀ, Translation = -Rᵀ t` output, :223-225)."""
+    # accept numpy inputs (callers pass host arrays for cheap batched
+    # transfer); the vmapped fancy-indexing below needs device arrays
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    valid = jnp.asarray(valid)
     N = x1.shape[0]
     dt = x1.dtype
     nvalid = jnp.sum(valid)

@@ -176,7 +176,7 @@ class PoseGraph:
             kf.window_desc, kf.window_valid, old.fast_desc, old.fast_valid
         ))
         if mok.sum() < self.min_loop_inliers:
-            return False, f"desc_matches={int(mok.sum())}" 
+            return False, f"desc_matches={int(mok.sum())}/{int(np.asarray(kf.window_valid).sum())}" 
 
         Lw = len(kf.points_3d)
         X = jnp.asarray(kf.points_3d, jnp.float64)

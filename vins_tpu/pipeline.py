@@ -58,7 +58,8 @@ class Pipeline:
         self.estimator = Estimator(cfg, imu_buf_len=imu_buf_len, dtype=dtype)
         self.loop_closure = cfg.loop_closure if loop_closure is None else loop_closure
         self.pose_graph = (
-            PoseGraph(self.estimator.qic, self.estimator.tic)
+            PoseGraph(self.estimator.qic, self.estimator.tic,
+                      min_loop_inliers=cfg.min_loop_num)
             if self.loop_closure else None
         )
         self.propagator = ImuPropagator(cfg.g_norm)

@@ -63,6 +63,11 @@ def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
         acc_n=0.08 if noise_inflated else 0.02,
         gyr_n=0.004 if noise_inflated else 0.0017,
         loop_closure=loop_closure, pg_skip_first_cnt=pg_skip_first_cnt,
+        # the spectral texture is BRIEF-adversarial (interference patterns
+        # repeat): the ratio-tested match pool tops out near ~15 of the ~70
+        # window landmarks, so the proxy uses a lower MIN_LOOP_NUM than the
+        # reference's 25; real imagery keeps the default
+        min_loop_num=cfg_kw.pop("min_loop_num", 12),
         **cfg_kw,
     )
     return Pipeline(cfg, cam, imu_buf_len=64, dtype=dtype)
