@@ -57,11 +57,11 @@ class Estimator:
         self.db._min_parallax = cfg.min_parallax
 
         self.estimate_extrinsic = cfg.estimate_extrinsic
-        self._vio_step = make_vio_step(
+        self._packed_step = self._make_packed_step(make_vio_step(
             self.layout, self.noise, self.opts,
             estimate_extrinsic=cfg.estimate_extrinsic >= 1,
-            estimate_td=cfg.estimate_td,
-        )
+            estimate_td=cfg.estimate_td, jit=False,
+        ))
         self.initializer = Initializer(self.noise, cfg.g_norm, cfg.focal, dtype)
 
         # extrinsics (body←camera)
@@ -263,6 +263,77 @@ class Estimator:
         self.qic = np.array(s.qic)
         self.td = float(s.td)
 
+
+    # ------------------------------------------------------- packed device IO
+
+    def _blob_spec(self):
+        """Shapes of every float field packed into the single upload blob,
+        in order.  One host->device transfer per frame instead of ~23: each
+        transfer is a separate RPC on remote-attached devices."""
+        F, W, N, L = self.F, self.W, self.N, self.L
+        return [
+            ("p", (F, 3)), ("q", (F, 4)), ("v", (F, 3)), ("ba", (F, 3)),
+            ("bg", (F, 3)), ("tic", (3,)), ("qic", (4,)), ("td", ()),
+            ("imu_dt", (W, N)), ("imu_acc", (W, N + 1, 3)),
+            ("imu_gyr", (W, N + 1, 3)), ("imu_mask", (W, N)),
+            ("pt", (L, F, 2)), ("vel", (L, F, 2)), ("toff", (L, F)),
+            ("valid", (L, F)), ("anchor", (L,)), ("inv_depth", (L,)),
+            ("active", (L,)), ("needs_tri", (L,)),
+            ("marg_old", ()), ("last_p", (3,)),
+        ]
+
+    def _make_packed_step(self, raw_step):
+        spec = self._blob_spec()
+        sizes = [int(np.prod(shp)) if shp else 1 for _, shp in spec]
+        offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+        gravity = self.gravity
+
+        def unpack(blob):
+            out = {}
+            for (name, shp), o0, o1 in zip(spec, offs[:-1], offs[1:]):
+                out[name] = blob[o0:o1].reshape(shp) if shp else blob[o0]
+            return out
+
+        @jax.jit
+        def stepped(blob, prior):
+            f = unpack(blob)
+            state = WindowState(p=f["p"], q=f["q"], v=f["v"], ba=f["ba"],
+                                bg=f["bg"], tic=f["tic"], qic=f["qic"],
+                                td=f["td"])
+            from ..solver.problem import FeatureObs
+            obs = FeatureObs(
+                pt=f["pt"], vel=f["vel"], toff=f["toff"],
+                valid=f["valid"] > 0.5,
+                anchor=f["anchor"].astype(jnp.int32),
+                inv_depth=f["inv_depth"], active=f["active"] > 0.5,
+            )
+            return raw_step(
+                state, f["imu_dt"], f["imu_acc"], f["imu_gyr"],
+                f["imu_mask"] > 0.5, obs, f["needs_tri"] > 0.5, prior,
+                gravity, f["marg_old"] > 0.5, f["last_p"],
+            )
+
+        return stepped
+
+    def _pack_blob(self, marg_old: bool) -> np.ndarray:
+        dt = self._np_dtype
+        db = self.db
+        fields = {
+            "p": self.p, "q": self.q, "v": self.v, "ba": self.ba,
+            "bg": self.bg, "tic": self.tic, "qic": self.qic,
+            "td": self.td,
+            "imu_dt": self.imu_dt, "imu_acc": self.imu_acc,
+            "imu_gyr": self.imu_gyr, "imu_mask": self._imu_mask(),
+            "pt": db.pt, "vel": db.vel, "toff": db.toff,
+            "valid": db.valid, "anchor": db.anchor,
+            "inv_depth": db.inv_depth, "active": db.active_mask(),
+            "needs_tri": (db.inv_depth < 0) & db.active_mask(),
+            "marg_old": float(marg_old), "last_p": self.last_p,
+        }
+        return np.concatenate(
+            [np.ravel(np.asarray(fields[name], dt)) for name, _ in
+             self._blob_spec()])
+
     def _imu_mask(self):
         return np.arange(self.N)[None, :] < self.imu_n[:, None]
 
@@ -296,16 +367,7 @@ class Estimator:
         return int(self.imu_n[self.W - 2] + self.imu_n[self.W - 1]) > self.N
 
     def _solve_and_slide(self, marg_old: bool, failure_check: bool) -> dict:
-        dt = self._np_dtype
-        obs = self.db.to_obs(dt)
-        needs_tri = (self.db.inv_depth < 0) & self.db.active_mask()
-        res = self._vio_step(
-            self._window_state(),
-            np.asarray(self.imu_dt, dt), np.asarray(self.imu_acc, dt),
-            np.asarray(self.imu_gyr, dt), self._imu_mask(),
-            obs, needs_tri, self.prior, self.gravity,
-            np.bool_(marg_old), np.asarray(self.last_p, dt),
-        )
+        res = self._packed_step(self._pack_blob(marg_old), self.prior)
         # ONE batched device->host transfer for the whole result: per-array
         # fetches each pay a full round-trip on remote-attached devices
         # (measured ~220 ms/array through a tunnel vs ~free batched).  The

@@ -42,7 +42,8 @@ def _yawR(yaw_deg):
 class KeyFrame:
     def __init__(self, index, stamp, p_vio, q_vio, points_3d, points_2d_norm,
                  window_desc, window_valid, fast_pts_norm, fast_desc, fast_valid,
-                 sequence=1, point_ids=None, window_uv=None, image=None):
+                 sequence=1, point_ids=None, window_uv=None, image=None,
+                 fast_3d=None, fast_3d_valid=None):
         self.index = index
         self.stamp = stamp
         self.sequence = sequence
@@ -63,6 +64,10 @@ class KeyFrame:
         self.fast_pts = fast_pts_norm  # [P,2] normalized coords (device)
         self.fast_desc = fast_desc  # [P,256]
         self.fast_valid = fast_valid  # [P]
+        # two-view-triangulated world points of the FAST corners (verify.py
+        # triangulate_two_view) — loop verification runs corner-to-corner
+        self.fast_3d = fast_3d          # [P,3] world, or None
+        self.fast_3d_valid = fast_3d_valid  # [P] bool, or None
         # debug-only extras (the reference's DEBUG_IMAGE path, keyframe.cpp)
         self.window_uv = None if window_uv is None else np.asarray(window_uv, float)
         self.image = image
@@ -168,18 +173,32 @@ class PoseGraph:
     # ------------------------------------------------------- loop validation
 
     def _find_connection(self, kf: KeyFrame, old_idx: int):
-        """findConnection (keyframe.cpp:259-520): window BRIEF ↔ old FAST
-        BRIEF matching, then PnP-RANSAC on (cur 3D, old 2D).  Returns
-        (ok, diagnostic) — the diagnostic names the rejecting gate."""
+        """findConnection (keyframe.cpp:259-520): descriptor matching, then
+        PnP-RANSAC on (current 3D, old 2D).  Where the reference matches the
+        estimator's tracked window points, we match the keyframe's own FAST
+        corners (with two-view-triangulated depth) against the old FAST set
+        — corner-to-corner matching is far more precise than tracked-corner
+        -to-corner (tracked positions drift off the corner peak).  Falls
+        back to the window-landmark set when FAST depth is unavailable.
+        Returns (ok, diagnostic) — the diagnostic names the rejecting gate."""
         old = self.keyframes[old_idx]
+        use_fast3d = kf.fast_3d is not None and kf.fast_3d_valid is not None
+        if use_fast3d:
+            q_valid = jnp.asarray(kf.fast_valid) & jnp.asarray(kf.fast_3d_valid)
+            q_desc = kf.fast_desc
+            X_np = np.asarray(kf.fast_3d, float)
+        else:
+            q_valid = kf.window_valid
+            q_desc = kf.window_desc
+            X_np = np.asarray(kf.points_3d, float)
         midx, mok = jax.device_get(match_descriptors(
-            kf.window_desc, kf.window_valid, old.fast_desc, old.fast_valid
+            q_desc, q_valid, old.fast_desc, old.fast_valid
         ))
         if mok.sum() < self.min_loop_inliers:
-            return False, f"desc_matches={int(mok.sum())}/{int(np.asarray(kf.window_valid).sum())}" 
+            return False, (f"desc_matches={int(mok.sum())}/"
+                           f"{int(jax.device_get(q_valid).sum())}")
 
-        Lw = len(kf.points_3d)
-        X = jnp.asarray(kf.points_3d, jnp.float64)
+        X = jnp.asarray(X_np, jnp.float64)
         old_fast_pts = jax.device_get(old.fast_pts)
         x_old = jnp.asarray(old_fast_pts[midx], jnp.float64)
         # initial guess: current keyframe CAMERA pose from VIO
@@ -212,13 +231,35 @@ class PoseGraph:
         # message (keyframe.cpp:488-514)
         inl = np.asarray(res.inliers)
         old_pts = old_fast_pts[midx]
-        self.last_match = {
-            "kf_index": kf.index,
-            "stamp": kf.stamp,
-            "old_index": old_idx,
-            "ids": kf.point_ids[inl],
-            "pts_old": old_pts[inl],
-        }
+        if use_fast3d:
+            # fast-reloc payload needs estimator feature ids: transfer ids
+            # from the nearest window landmark (normalized coords) per
+            # inlying FAST corner; unmatched corners carry id −1 and are
+            # ignored by the estimator
+            fp = jax.device_get(kf.fast_pts)
+            ids = np.full(len(fp), -1, np.int64)
+            if len(kf.points_2d):
+                d = np.linalg.norm(fp[:, None, :] - kf.points_2d[None, :, :],
+                                   axis=-1)
+                nearest = np.argmin(d, axis=1)
+                close = d[np.arange(len(fp)), nearest] < 2.5 / 460.0
+                ids[close] = kf.point_ids[nearest[close]]
+            sel = inl & (ids >= 0)
+            self.last_match = {
+                "kf_index": kf.index,
+                "stamp": kf.stamp,
+                "old_index": old_idx,
+                "ids": ids[sel],
+                "pts_old": old_pts[sel],
+            }
+        else:
+            self.last_match = {
+                "kf_index": kf.index,
+                "stamp": kf.stamp,
+                "old_index": old_idx,
+                "ids": kf.point_ids[inl],
+                "pts_old": old_pts[inl],
+            }
 
         kf.loop_index = old_idx
         kf.loop_rel_t = np.array(rel_t)

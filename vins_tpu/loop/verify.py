@@ -88,3 +88,47 @@ def relative_check(p_old, q_old, p_cur, q_cur,
     )
     ok = (jnp.abs(rel_yaw) < max_yaw_deg) & (jnp.linalg.norm(rel_t) < max_t)
     return rel_t, rel_yaw, ok
+
+
+@jax.jit
+def triangulate_two_view(
+    p0: jax.Array, R0: jax.Array,  # camera 0 position [3] / world←cam [3,3]
+    x0: jax.Array,                 # [P,2] normalized obs in camera 0
+    p1: jax.Array, R1: jax.Array,
+    x1: jax.Array,                 # [P,2] matching obs in camera 1
+    valid: jax.Array,              # [P]
+    max_reproj: float = 4.0 / 460.0,
+    min_parallax: float = 1.0 / 460.0,
+):
+    """Closed-form midpoint triangulation of matched rays between two known
+    camera poses, batched + gated: cheirality in both views, reprojection
+    below `max_reproj`, ray parallax above `min_parallax`.  Gives keyframe
+    FAST corners their own 3D so loop verification can run corner-to-corner
+    (the window landmarks' tracked positions drift off corner peaks and
+    describe poorly)."""
+    dt = x0.dtype
+    one = jnp.ones((x0.shape[0], 1), dt)
+    d0 = jnp.concatenate([x0, one], -1) @ R0.T  # world ray dirs [P,3]
+    d1 = jnp.concatenate([x1, one], -1) @ R1.T
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    b = (p1 - p0)[None, :]
+    dd = jnp.sum(d0 * d1, -1)                      # cosθ
+    denom = jnp.maximum(1.0 - dd * dd, 1e-12)
+    t0 = (jnp.sum(b * d0, -1) - dd * jnp.sum(b * d1, -1)) / denom
+    t1 = (dd * jnp.sum(b * d0, -1) - jnp.sum(b * d1, -1)) / denom
+    X = 0.5 * ((p0 + t0[:, None] * d0) + (p1 + t1[:, None] * d1))
+
+    def reproj(X, p, R, x):
+        Pc = (X - p[None]) @ R  # world→cam (R = world←cam, so multiply right)
+        z = Pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        return jnp.linalg.norm(Pc[:, :2] / zs[:, None] - x, axis=-1), z
+
+    e0, z0 = reproj(X, p0, R0, x0)
+    e1, z1 = reproj(X, p1, R1, x1)
+    parallax = jnp.arccos(jnp.clip(dd, -1.0, 1.0))
+    ok = (valid & (z0 > 0.1) & (z1 > 0.1)
+          & (e0 < max_reproj) & (e1 < max_reproj)
+          & (parallax > min_parallax) & (t0 > 0.0) & (t1 > 0.0))
+    return X, ok

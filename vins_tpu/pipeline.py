@@ -29,8 +29,10 @@ from .core import nplie
 from .estimator.estimator import NON_LINEAR, Estimator
 from .estimator.propagator import ImuPropagator
 from .frontend.tracker import FeatureTracker
+from .loop.brief import match_descriptors
 from .loop.pose_graph import (KeyFrame, PoseGraph, describe_window_points,
                               extract_keyframe_features)
+from .loop.verify import triangulate_two_view
 from .utils.trace import Tracer
 
 
@@ -73,6 +75,7 @@ class Pipeline:
         self._pg_skip_first = 0
         self._pg_skip_count = 0
         self._pg_last_t = np.array([-100.0, -100.0, -100.0])
+        self._prev_kf_fast = None  # previous keyframe's FAST set + cam pose
         self.trajectory = []  # (t, p, q) VIO outputs
         self.trajectory_loop = []  # pose-graph-corrected outputs
         self.sequence = 1
@@ -213,6 +216,32 @@ class Pipeline:
 
         wdesc = describe_window_points(img_kf, uv)
         fpts, fdesc, fok = extract_keyframe_features(img_kf, self.camera)
+
+        # two-view depth for the FAST corners against the PREVIOUS keyframe
+        # (known camera poses): loop verification then matches corner sets
+        # directly — tracked window points drift off corner peaks and match
+        # poorly (see loop/verify.py::triangulate_two_view)
+        Ric = nplie.q2R(est.qic)
+        R_b = nplie.q2R(q_b)
+        p_cam = p_b + R_b @ est.tic
+        R_wc = R_b @ Ric
+        fast_3d = fast_3d_valid = None
+        prev = self._prev_kf_fast
+        if prev is not None:
+            pmidx, pmok = match_descriptors(fdesc, fok,
+                                            prev["desc"], prev["valid"])
+            x_prev = jnp.take(prev["pts"], pmidx, axis=0)
+            X3, okt = jax.device_get(triangulate_two_view(
+                np.asarray(p_cam, np.float32), np.asarray(R_wc, np.float32),
+                fpts, prev["p"], prev["R"], x_prev, pmok,
+            ))
+            fast_3d, fast_3d_valid = X3, okt
+        self._prev_kf_fast = {
+            "pts": fpts, "desc": fdesc, "valid": fok,
+            "p": np.asarray(p_cam, np.float32),
+            "R": np.asarray(R_wc, np.float32),
+        }
+
         kf = KeyFrame(
             index=-1, stamp=float(t), p_vio=p_b, q_vio=q_b,
             points_3d=pts3d, points_2d_norm=pts2d,
@@ -221,6 +250,7 @@ class Pipeline:
             sequence=self.sequence, point_ids=np.asarray(fids),
             window_uv=uv,
             image=np.asarray(img_kf) if self.cfg.debug_image else None,
+            fast_3d=fast_3d, fast_3d_valid=fast_3d_valid,
         )
         res = self.pose_graph.add_keyframe(kf)
         self.last_kf_result = res
@@ -333,6 +363,7 @@ class Pipeline:
         self._first_image_time = None
         self._pub_count = 0
         self._img_ring.clear()
+        self._prev_kf_fast = None
         self.sequence += 1
 
     def write_trajectories(self, path_vio: str, path_loop: str | None = None):
