@@ -101,6 +101,8 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
             pipe.process_imu(ti, a, w)
         pipe.process_image(img, t)
 
+    # honest post-warm stage means: drop the warm-up (compile-inflated) spans
+    pipe.tracer.stats.reset()
     t0 = time.perf_counter()
     for t, imu, img in frames[warm:]:
         for ti, a, w in imu:

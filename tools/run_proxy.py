@@ -36,12 +36,15 @@ def main():
 
     import jax
     if args.cpu:
+        # x64 belongs to the CPU reference path only: on TPU f64 is
+        # software-emulated (bench.py:22-24) — the device path runs f32
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    import jax.numpy as jnp
     import numpy as np
 
     from vins_tpu.io.euroc import write_tum
@@ -51,7 +54,8 @@ def main():
     out.mkdir(exist_ok=True)
 
     t0 = time.time()
-    pipe = make_pipeline(loop_closure=args.loop)
+    dtype = jnp.float64 if args.cpu else jnp.float32
+    pipe = make_pipeline(loop_closure=args.loop, dtype=dtype)
     run = run_proxy(
         duration=args.duration, period=args.period, frame_hz=args.frame_hz,
         seed=args.seed, imu_noise=args.noise, pipe=pipe,
@@ -67,24 +71,48 @@ def main():
     write_tum(str(out / "proxy_gt.tum"), run.t, run.p_gt, run.q_gt)
 
     kinds = [e.get("kind") for e in run.events]
+    # per-keyframe gate diagnostics (scores → candidate → verify), the
+    # instrumentation VERDICT r2 asked for: where does the chain die?
+    kf_evs = [e for e in run.events if "candidate" in e]
+    gates = {
+        "keyframes_queried": len(kf_evs),
+        "no_candidate": sum(1 for e in kf_evs if e["candidate"] is None),
+        "desc_matches": sum(1 for e in kf_evs
+                            if str(e.get("verify", "")).startswith("desc")),
+        "pnp": sum(1 for e in kf_evs
+                   if str(e.get("verify", "")).startswith("pnp")),
+        "relative": sum(1 for e in kf_evs
+                        if str(e.get("verify", "")).startswith("relative")),
+        "ok": sum(1 for e in kf_evs if e.get("verify") == "ok"),
+    }
+    loops = [{"t": round(float(t), 2), "old": int(e["loop"])}
+             for t, e in zip(run.t, run.events) if e.get("loop") is not None]
+    gt_path_m = float(np.linalg.norm(np.diff(run.p_gt, axis=0), axis=1).sum())
+    ate_vio = ate_rmse_tum(pipe.trajectory, run.t, run.p_gt)
     res = {
         "duration_s": args.duration,
         "period_s": args.period,
         "seed": args.seed,
         "imu_noise": args.noise,
+        "min_loop_num": pipe.cfg.min_loop_num,
         "frames_published": len(run.events),
         "kinds": {k: kinds.count(k) for k in set(kinds)},
         "reboots": int(pipe.estimator.failures),
         "loops_detected": run.n_loops,
-        "ate_vio_m": ate_rmse_tum(pipe.trajectory, run.t, run.p_gt),
+        "loops": loops[:50],
+        "gates": gates,
+        "gt_path_m": round(gt_path_m, 2),
+        "ate_vio_m": ate_vio,
+        "ate_vio_pct_path": round(100.0 * ate_vio / gt_path_m, 3),
         "ate_vio_4dof_m": ate_rmse_tum(pipe.trajectory, run.t, run.p_gt,
                                        align="yaw"),
         "wall_s": round(wall, 1),
         "stage_ms": pipe.tracer.stats.snapshot(),
     }
     if args.loop and pipe.trajectory_loop:
-        res["ate_corrected_m"] = ate_rmse_tum(pipe.trajectory_loop, run.t,
-                                              run.p_gt)
+        ate_c = ate_rmse_tum(pipe.trajectory_loop, run.t, run.p_gt)
+        res["ate_corrected_m"] = ate_c
+        res["ate_corrected_pct_path"] = round(100.0 * ate_c / gt_path_m, 3)
         res["pose_graph_keyframes"] = len(pipe.pose_graph.keyframes)
     print(json.dumps(res, indent=1))
     with open(out / f"proxy_{tag}_seed{args.seed}.json", "w") as f:

@@ -170,24 +170,6 @@ class Estimator:
                     self._acc_gyr[na + 1] = gyr
                     self._acc_n = na + 1
 
-            # midpoint propagation of the newest state (same math as the
-            # preintegration step, world frame, g = +z·9.81 specific-force
-            # convention: a_w = R(a_m − ba) − g).  Pure numpy: this runs at
-            # IMU rate on the host — an eager device op here would cost a
-            # device round-trip per sample
-            from .propagator import _delta_q, _quat_mul, _quat_rot
-
-            g = np.array([0.0, 0.0, self.cfg.g_norm])
-            un_acc_0 = _quat_rot(self.q[j], self.acc_prev - self.ba[j]) - g
-            un_gyr = 0.5 * (self.gyr_prev + gyr) - self.bg[j]
-            qj = _quat_mul(self.q[j], _delta_q(un_gyr * dt))
-            qj = qj / np.linalg.norm(qj)
-            un_acc_1 = _quat_rot(qj, acc - self.ba[j]) - g
-            un_acc = 0.5 * (un_acc_0 + un_acc_1)
-            self.q[j] = qj
-            self.p[j] = self.p[j] + dt * self.v[j] + 0.5 * dt * dt * un_acc
-            self.v[j] = self.v[j] + dt * un_acc
-
         self.acc_prev, self.gyr_prev = acc, gyr
 
     # ------------------------------------------------------------------ image
@@ -195,6 +177,7 @@ class Estimator:
     def process_image(self, ids, pts, vels, uvs, t: float, toffs=0.0) -> dict:
         """One feature frame (estimator.cpp:120-217).  Returns a diagnostics
         dict with at least {"kind": ...}."""
+        self._propagate_newest()
         col = min(self.frame_count, self.W)
         marg_old = self.db.add_frame(ids, pts, vels, uvs, toffs, col)
         marg_old = marg_old or self._overflow_guard()
@@ -234,6 +217,30 @@ class Estimator:
         return out
 
     # --------------------------------------------------------------- internals
+
+    def _propagate_newest(self):
+        """Midpoint-propagate the newest window state over the open IMU
+        interval — deferred from IMU rate to frame rate (estimator.cpp:
+        107-114 does this per sample; the result is identical because the
+        newest state is only consumed here, as the solve's initial guess,
+        while the IMU-rate OUTPUT path is ImuPropagator's separate job).
+        One vectorized numpy batch per frame instead of ~20 per-sample
+        Python passes."""
+        j = min(self.frame_count, self.W)
+        if j == 0:
+            return
+        k = j - 1
+        n = int(self.imu_n[k])
+        if n == 0:
+            return
+        from .propagator import midpoint_propagate_batch
+
+        g = np.array([0.0, 0.0, self.cfg.g_norm])
+        self.p[j], self.q[j], self.v[j] = midpoint_propagate_batch(
+            self.p[j], self.q[j], self.v[j], self.ba[j], self.bg[j], g,
+            self.imu_dt[k, :n], self.imu_acc[k, : n + 1],
+            self.imu_gyr[k, : n + 1],
+        )
 
     @property
     def _np_dtype(self):

@@ -37,6 +37,7 @@ class InitResult(NamedTuple):
     bg: np.ndarray | None = None  # [3]
     scale: float = 0.0
     g_var: float = 0.0
+    s_rel_sigma: float = 0.0  # relative 1σ of the alignment's scale estimate
 
 
 def make_align_pipeline(noise: ImuNoise, g_norm: float):
@@ -81,7 +82,7 @@ def make_align_pipeline(noise: ImuNoise, g_norm: float):
         R_wb = jnp.einsum("ij,fjk->fik", R0, R_wb)
         q_out = jax.vmap(lie.R2q)(R_wb)
 
-        return Ps, q_out, Vs, dbg, s, sfm.ok, align.ok
+        return Ps, q_out, Vs, dbg, s, sfm.ok, align.ok, align.s_rel_sigma
 
     return pipeline
 
@@ -148,12 +149,21 @@ def make_align_all_pipeline(noise: ImuNoise, g_norm: float):
         R_wb = jnp.einsum("ij,fjk->fik", R0, R_wb)
         q_out = jax.vmap(lie.R2q)(R_wb)
 
-        return Ps, q_out, Vs, dbg, s, sfm.ok & pnp_ok, align.ok
+        return Ps, q_out, Vs, dbg, s, sfm.ok & pnp_ok, align.ok, align.s_rel_sigma
 
     return pipeline
 
 
 class Initializer:
+    # scale-observability acceptance: reject an alignment whose scale
+    # estimate carries more than this relative 1σ (from the LS fit residual
+    # + covariance, alignment.py::_ls_qr).  The reference accepts any s > 0
+    # (initial_aligment.cpp:190-194) and relies on double precision + luck;
+    # a marginal window (low excitation, short baseline) can produce an
+    # accepted-but-3×-off scale from which VIO never recovers — rejecting it
+    # here simply retries next frame, when the all-frames ring has grown.
+    SCALE_REL_SIGMA_MAX = 0.25
+
     def __init__(self, noise: ImuNoise, g_norm: float, focal: float = 460.0,
                  dtype=jnp.float64):
         self.noise = noise
@@ -284,7 +294,7 @@ class Initializer:
         if est is not None and win_ts is not None:
             aux = self._build_aux_inputs(db, est, np.asarray(win_ts))
         if aux is not None:
-            Ps, q, Vs, dbg, s, sfm_ok, align_ok = jax.device_get(self._pipeline_all(
+            Ps, q, Vs, dbg, s, sfm_ok, align_ok, s_sig = jax.device_get(self._pipeline_all(
                 pt, valid, jnp.asarray(l),
                 jnp.asarray(rel.R, dtj), jnp.asarray(rel.t, dtj),
                 jnp.asarray(qic, dtj), jnp.asarray(tic, dtj),
@@ -294,17 +304,19 @@ class Initializer:
                 jnp.asarray(aux["dt"], dtj), jnp.asarray(aux["acc"], dtj),
                 jnp.asarray(aux["gyr"], dtj), jnp.asarray(aux["imask"]),
             ))
-            if bool(sfm_ok) and bool(align_ok):
+            if bool(sfm_ok) and bool(align_ok) and \
+                    float(s_sig) < self.SCALE_REL_SIGMA_MAX:
                 return InitResult(
                     True, "ok (all frames)",
                     p=np.asarray(Ps), q=np.asarray(q), v=np.asarray(Vs),
                     bg=np.asarray(dbg), scale=float(s), g_var=g_var,
+                    s_rel_sigma=float(s_sig),
                 )
             # fall through to the window-only path
 
         N = imu_dt.shape[1]
         mask = np.arange(N)[None, :] < imu_n[:, None]
-        Ps, q, Vs, dbg, s, sfm_ok, align_ok = jax.device_get(self._pipeline(
+        Ps, q, Vs, dbg, s, sfm_ok, align_ok, s_sig = jax.device_get(self._pipeline(
             pt, valid, jnp.asarray(l),
             jnp.asarray(rel.R, dtj),
             jnp.asarray(rel.t, dtj),
@@ -319,8 +331,13 @@ class Initializer:
             return InitResult(False, "global SfM failed", g_var=g_var)
         if not bool(align_ok):
             return InitResult(False, "visual-inertial alignment rejected", g_var=g_var)
+        if float(s_sig) >= self.SCALE_REL_SIGMA_MAX:
+            return InitResult(False,
+                              f"scale unobservable (rel sigma {float(s_sig):.2f})",
+                              g_var=g_var, s_rel_sigma=float(s_sig))
         return InitResult(
             True, "ok",
             p=np.asarray(Ps), q=np.asarray(q), v=np.asarray(Vs),
             bg=np.asarray(dbg), scale=float(s), g_var=g_var,
+            s_rel_sigma=float(s_sig),
         )

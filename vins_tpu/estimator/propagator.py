@@ -14,30 +14,56 @@ import collections
 
 import numpy as np
 
+from ..core.nplie import qmul as _nq_mul
+from ..core.nplie import qrotate as _nq_rot
+
 
 def _quat_mul(a, b):
-    w1, x1, y1, z1 = a
-    w2, x2, y2, z2 = b
-    return np.array([
-        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-    ])
+    return _nq_mul(a, b)
 
 
 def _quat_rot(q, v):
-    w, x, y, z = q
-    R = np.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
-    return R @ v
+    return _nq_rot(q, v)
 
 
 def _delta_q(w_dt):
     return np.array([1.0, 0.5 * w_dt[0], 0.5 * w_dt[1], 0.5 * w_dt[2]])
+
+
+def midpoint_propagate_batch(p, q, v, ba, bg, g, dt, acc, gyr):
+    """Vectorized midpoint propagation over one interval's IMU samples.
+
+    Exactly the per-sample recurrence of the reference (estimator.cpp:107-114
+    / estimator_node.cpp:58-75: un_acc_0 with the pre-update attitude,
+    un_acc_1 with the post-update one), with all per-sample vector work done
+    in O(1) numpy passes; only the inherently sequential length-N quaternion
+    chain stays a (cheap, 16-flop-per-step) Python loop.  Layout matches the
+    per-interval buffers: dt [N]; acc/gyr [N+1, 3] with the interval's
+    boundary sample at index 0.  Returns (p, q, v) after all N samples."""
+    dt = np.asarray(dt, float)
+    n = len(dt)
+    if n == 0:
+        return p, q, v
+    acc = np.asarray(acc, float)
+    gyr = np.asarray(gyr, float)
+    un_gyr = 0.5 * (gyr[:-1] + gyr[1:]) - bg                   # [N,3]
+    dq = np.concatenate([np.ones((n, 1)), 0.5 * un_gyr * dt[:, None]],
+                        axis=1)                                # unnormalized
+    qs = np.empty((n + 1, 4))
+    qs[0] = q
+    qk = np.asarray(q, float)
+    for k in range(n):
+        qk = _nq_mul(qk, dq[k])
+        qk = qk / np.linalg.norm(qk)
+        qs[k + 1] = qk
+    a_w = _nq_rot(qs, acc - ba) - g                            # [N+1,3]
+    un_acc = 0.5 * (a_w[:-1] + a_w[1:])                        # [N,3]
+    dv = dt[:, None] * un_acc
+    v_pre = v + np.concatenate([np.zeros((1, 3)), np.cumsum(dv[:-1], 0)]) \
+        if n > 1 else v[None]
+    p_new = p + np.sum(dt[:, None] * v_pre
+                       + 0.5 * (dt ** 2)[:, None] * un_acc, axis=0)
+    return p_new, qs[n], v + dv.sum(0)
 
 
 class ImuPropagator:

@@ -51,6 +51,43 @@ class AlignResult(NamedTuple):
     g_c0: jax.Array  # [3] gravity in the SfM reference (c0) frame
     scale: jax.Array  # [] metric scale
     ok: jax.Array  # [] bool
+    s_rel_sigma: jax.Array = jnp.inf  # [] relative 1σ of the scale estimate
+
+
+def _ls_qr(A: jax.Array, b: jax.Array, pin: jax.Array | None = None):
+    """Least squares via QR of [A | b] — no AᵀA (normal equations square the
+    condition number; the alignment system mixes velocity/gravity/scale
+    columns of very different scales, and the reference's ×1000 row trick +
+    double precision, initial_aligment.cpp:147-151, is exactly a workaround
+    we don't need with QR).  `pin` appends unit rows on selected columns
+    (masked-out velocities).  Returns (x, rel_sigma_last): the solution and
+    the relative 1σ of the LAST unknown (the scale column), estimated from
+    the fit residual — σ² = ‖Ax−b‖²/(rows−cols), cov = σ²(RᵀR)⁻¹."""
+    dtype = A.dtype
+    n = A.shape[1]
+    rows = [A]
+    rhs = [b]
+    if pin is not None:
+        rows.append(jnp.diag(pin))
+        rhs.append(jnp.zeros((n,), dtype))
+    # tiny column-relative ridge keeps R invertible on degenerate input
+    cn = jnp.sqrt(jnp.clip(jnp.sum(A * A, axis=0), 1e-12, None))
+    eps = 1e-10 if dtype == jnp.float64 else 1e-5
+    rows.append(jnp.diag(eps * cn))
+    rhs.append(jnp.zeros((n,), dtype))
+    Af = jnp.concatenate(rows, axis=0)
+    bf = jnp.concatenate(rhs)
+    R = jnp.linalg.qr(jnp.concatenate([Af, bf[:, None]], axis=1), mode="r")
+    Rn, z, rnorm = R[:n, :n], R[:n, n], jnp.abs(R[n, n])
+    x = jax.scipy.linalg.solve_triangular(Rn, z, lower=False)
+    # cov_ss = σ²·‖w‖² with Rᵀw = e_s (s = last column)
+    e_s = jnp.zeros((n,), dtype).at[-1].set(1.0)
+    w = jax.scipy.linalg.solve_triangular(Rn.T, e_s, lower=True)
+    dof = jnp.maximum(jnp.sum((jnp.abs(Af) > 0).any(axis=1)) - n, 1).astype(dtype)
+    sigma2 = rnorm * rnorm / dof
+    s_sigma = jnp.sqrt(sigma2) * jnp.linalg.norm(w)
+    rel = s_sigma / jnp.maximum(jnp.abs(x[-1]), 1e-12)
+    return x, rel
 
 
 def _build_lin_system(
@@ -121,14 +158,13 @@ def linear_alignment(
     a float conditioning aid; we solve in float64.)"""
     F = R_wb.shape[0]
     A, b = _build_lin_system(R_wb, p_cam, tic, pres, mask)
-    H = A.T @ A
-    if mask is not None:
-        H = H + jnp.diag(_velocity_pin(F, mask, H.dtype))
-    x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype), A.T @ b)
+    pin = None if mask is None else _velocity_pin(F, mask, A.dtype)
+    x, s_rel = _ls_qr(A, b, pin)
     s = x[-1] / 100.0
     g = x[3 * F : 3 * F + 3]
     ok = (jnp.abs(jnp.linalg.norm(g) - g_norm) < 1.0) & (s > 0)
-    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s, ok=ok)
+    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s,
+                       ok=ok, s_rel_sigma=s_rel)
 
 
 def refine_gravity(
@@ -155,22 +191,22 @@ def refine_gravity(
         b2 = jnp.cross(a, b1)
         return jnp.stack([b1, b2], axis=1)  # [3,2]
 
+    pin_full = None if pin is None else jnp.concatenate([pin, jnp.zeros(3, dtype)])
+
     def step(g, _):
         Bg = tangent_basis(g)
         A2 = jnp.concatenate([cols_v, cols_g @ Bg, cols_s], axis=1)
         b2 = b - cols_g @ (g / jnp.linalg.norm(g) * g_norm)
-        H = A2.T @ A2
-        if pin is not None:
-            H = H + jnp.diag(jnp.concatenate([pin, jnp.zeros(3, dtype)]))
-        x = spd_solve(H + 1e-12 * jnp.eye(H.shape[0], dtype=dtype), A2.T @ b2)
+        x, s_rel = _ls_qr(A2, b2, pin_full)
         dg = x[3 * F : 3 * F + 2]
         g_new = g / jnp.linalg.norm(g) * g_norm + Bg @ dg
-        return g_new, x
+        return g_new, (x, s_rel)
 
-    g, xs = jax.lax.scan(step, g0, None, length=iters)
-    x = jax.tree.map(lambda a: a[-1], xs)
+    g, (xs, s_rels) = jax.lax.scan(step, g0, None, length=iters)
+    x = xs[-1]
     s = x[-1] / 100.0
-    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s, ok=s > 0)
+    return AlignResult(v_body=x[: 3 * F].reshape(F, 3), g_c0=g, scale=s,
+                       ok=s > 0, s_rel_sigma=s_rels[-1])
 
 
 def visual_imu_alignment(
@@ -185,4 +221,4 @@ def visual_imu_alignment(
     lin = linear_alignment(R_wb, p_cam, tic, pres, g_norm, mask=mask)
     ref = refine_gravity(R_wb, p_cam, tic, pres, lin.g_c0, g_norm, mask=mask)
     return AlignResult(v_body=ref.v_body, g_c0=ref.g_c0, scale=ref.scale,
-                       ok=lin.ok & ref.ok)
+                       ok=lin.ok & ref.ok, s_rel_sigma=ref.s_rel_sigma)

@@ -160,6 +160,7 @@ class PoseGraph:
                                         newest_kf=kf.index)
             cand = pick_loop_candidate(idx, scores)
             out["scores"] = scores
+            out["score_idx"] = idx
             out["candidate"] = cand
         self.db.add(kf.fast_desc, kf.fast_valid, kf_index=kf.index)
         if cand is not None:

@@ -214,33 +214,34 @@ class Pipeline:
         uv = db.uv[ks, kf_frame]
         fids = db.ids[ks]
 
-        wdesc = describe_window_points(img_kf, uv)
-        fpts, fdesc, fok = extract_keyframe_features(img_kf, self.camera)
+        with self.tracer.span("pg_features"):
+            wdesc = describe_window_points(img_kf, uv)
+            fpts, fdesc, fok = extract_keyframe_features(img_kf, self.camera)
 
-        # two-view depth for the FAST corners against the PREVIOUS keyframe
-        # (known camera poses): loop verification then matches corner sets
-        # directly — tracked window points drift off corner peaks and match
-        # poorly (see loop/verify.py::triangulate_two_view)
-        Ric = nplie.q2R(est.qic)
-        R_b = nplie.q2R(q_b)
-        p_cam = p_b + R_b @ est.tic
-        R_wc = R_b @ Ric
-        fast_3d = fast_3d_valid = None
-        prev = self._prev_kf_fast
-        if prev is not None:
-            pmidx, pmok = match_descriptors(fdesc, fok,
-                                            prev["desc"], prev["valid"])
-            x_prev = jnp.take(prev["pts"], pmidx, axis=0)
-            X3, okt = jax.device_get(triangulate_two_view(
-                np.asarray(p_cam, np.float32), np.asarray(R_wc, np.float32),
-                fpts, prev["p"], prev["R"], x_prev, pmok,
-            ))
-            fast_3d, fast_3d_valid = X3, okt
-        self._prev_kf_fast = {
-            "pts": fpts, "desc": fdesc, "valid": fok,
-            "p": np.asarray(p_cam, np.float32),
-            "R": np.asarray(R_wc, np.float32),
-        }
+            # two-view depth for the FAST corners against the PREVIOUS
+            # keyframe (known camera poses): loop verification then matches
+            # corner sets directly — tracked window points drift off corner
+            # peaks and match poorly (see loop/verify.py)
+            Ric = nplie.q2R(est.qic)
+            R_b = nplie.q2R(q_b)
+            p_cam = p_b + R_b @ est.tic
+            R_wc = R_b @ Ric
+            fast_3d = fast_3d_valid = None
+            prev = self._prev_kf_fast
+            if prev is not None:
+                pmidx, pmok = match_descriptors(fdesc, fok,
+                                                prev["desc"], prev["valid"])
+                x_prev = jnp.take(prev["pts"], pmidx, axis=0)
+                X3, okt = jax.device_get(triangulate_two_view(
+                    np.asarray(p_cam, np.float32), np.asarray(R_wc, np.float32),
+                    fpts, prev["p"], prev["R"], x_prev, pmok,
+                ))
+                fast_3d, fast_3d_valid = X3, okt
+            self._prev_kf_fast = {
+                "pts": fpts, "desc": fdesc, "valid": fok,
+                "p": np.asarray(p_cam, np.float32),
+                "R": np.asarray(R_wc, np.float32),
+            }
 
         kf = KeyFrame(
             index=-1, stamp=float(t), p_vio=p_b, q_vio=q_b,
@@ -252,7 +253,8 @@ class Pipeline:
             image=np.asarray(img_kf) if self.cfg.debug_image else None,
             fast_3d=fast_3d, fast_3d_valid=fast_3d_valid,
         )
-        res = self.pose_graph.add_keyframe(kf)
+        with self.tracer.span("pg_add"):
+            res = self.pose_graph.add_keyframe(kf)
         self.last_kf_result = res
         self._pg_last_t = np.asarray(p_b, float).copy()
         loop = res.get("loop")

@@ -63,11 +63,12 @@ def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
         acc_n=0.08 if noise_inflated else 0.02,
         gyr_n=0.004 if noise_inflated else 0.0017,
         loop_closure=loop_closure, pg_skip_first_cnt=pg_skip_first_cnt,
-        # the spectral texture is BRIEF-adversarial (interference patterns
-        # repeat): the ratio-tested match pool tops out near ~15 of the ~70
-        # window landmarks, so the proxy uses a lower MIN_LOOP_NUM than the
-        # reference's 25; real imagery keeps the default
-        min_loop_num=cfg_kw.pop("min_loop_num", 12),
+        # reference-parity MIN_LOOP_NUM (keyframe.h:16): the corner-to-corner
+        # verification path (FAST corners with two-view depth matched against
+        # the old FAST set) yields 45-70 ratio-tested matches at a revisit on
+        # this texture (tools/diag_loop.py), comfortably above 25 — the
+        # round-2 reduction to 12 predated that path and is gone
+        min_loop_num=cfg_kw.pop("min_loop_num", 25),
         **cfg_kw,
     )
     return Pipeline(cfg, cam, imu_buf_len=64, dtype=dtype)

@@ -168,7 +168,11 @@ def _damped_solve(H, b, H_xl, H_ll, b_l, mu, dtype, axis_name=None):
     d = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
     Hn = H_red / d[:, None] / d[None, :]
     bn = b_red / d
-    c, low = jax.scipy.linalg.cho_factor(Hn + 1e-9 * jnp.eye(dim_x, dtype=dtype))
+    # Cholesky jitter on the UNIT-diagonal system must clear the dtype's
+    # roundoff floor (f32 needs ~1e-6; 1e-9 is below f32 eps and lets
+    # near-null gauge directions blow up the step)
+    jit_eps = 1e-9 if dtype == jnp.float64 else 3e-6
+    c, low = jax.scipy.linalg.cho_factor(Hn + jit_eps * jnp.eye(dim_x, dtype=dtype))
     dxn = jax.scipy.linalg.cho_solve((c, low), bn)
     dx = dxn / d
 

@@ -43,6 +43,11 @@ class StageStats:
         self._max: dict = {}
         self._last: dict = {}
 
+    def reset(self):
+        """Drop accumulated stats (e.g. after a warm-up segment, so means
+        exclude compile time)."""
+        self.__init__()
+
     def add(self, stage: str, ms: float):
         self._n[stage] = self._n.get(stage, 0) + 1
         self._sum[stage] = self._sum.get(stage, 0.0) + ms
