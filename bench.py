@@ -64,7 +64,7 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     from vins_tpu.sim.window import R_IC_FORWARD
 
     pipe = make_pipeline(loop_closure=True, pg_skip_first_cnt=5,
-                         dtype=jnp.float32)
+                         dtype=jnp.float32, pg_async=True)
     traj = Trajectory.circuit(radius=4.0, period=12.0, height=1.0)
     gravity = jnp.asarray([0.0, 0.0, 9.81], jnp.float64)
     renderer = RoomRenderer(pipe.camera, 480, 752,
@@ -111,6 +111,9 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     dt = time.perf_counter() - t0
     fps = (n_frames - warm) / dt
     stats = pipe.tracer.stats.snapshot()
+    # clean worker shutdown: a daemon thread killed mid-device-call at
+    # interpreter exit aborts the process
+    pipe.shutdown()
     return fps, stats
 
 

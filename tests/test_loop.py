@@ -216,7 +216,7 @@ def test_pose_graph_end_to_end_drift_correction():
     assert err_after < 0.5 * err_before, (err_before, err_after)
     ydrift = float(
         lie.normalize_angle(jnp.asarray(
-            np.degrees(0.0) + np.array(pg._graph.yaw[11] - pg._graph.ypr_vio[11, 0])
+            np.degrees(0.0) + np.array(pg.graph.yaw[11] - pg.graph.ypr_vio[11, 0])
         ))
     )
     assert -1.1 < ydrift < -0.3  # recovers most of the injected +1° yaw drift

@@ -139,7 +139,9 @@ def main():
     }
     print(json.dumps(summary))
     out = args.out or f"results/diag_loop_seed{args.seed}.json"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    d = os.path.dirname(out)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(out, "w") as f:
         json.dump({"summary": summary, "records": records}, f, indent=1)
 

@@ -44,28 +44,21 @@ def load_image(path):
     return read_png_gray(path).astype(np.float32)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("root")
-    ap.add_argument("--config", default="config/euroc.yaml")
-    ap.add_argument("--out", default=".")
-    ap.add_argument("--no-loop", action="store_true")
-    ap.add_argument("--max-frames", type=int, default=0)
-    args = ap.parse_args()
-
-    import jax.numpy as jnp
-
-    from vins_tpu.config import load_config
-    from vins_tpu.core.cameras import camera_from_yaml
+def replay(root, cfg, cam, loop: bool = True, max_frames: int = 0,
+           progress_every: int = 100, pipe=None):
+    """Replay a EuRoC-format directory through the full pipeline: native
+    PNG decode (prefetch thread) → native measurement queue → frontend →
+    estimator → pose graph.  Returns the Pipeline (trajectories populated).
+    Importable — tests/test_euroc_replay.py drives this exact chain on a
+    synthetic EuRoC-format dataset (sim/euroc_writer.py)."""
     from vins_tpu.io.euroc import load_cam_index, load_imu
     from vins_tpu.pipeline import Pipeline
 
-    cfg = load_config(args.config)
-    cam = camera_from_yaml(cfg.camera, dtype=jnp.float32)
-    pipe = Pipeline(cfg, cam, loop_closure=not args.no_loop)
+    if pipe is None:
+        pipe = Pipeline(cfg, cam, loop_closure=loop)
 
-    imu = load_imu(args.root)
-    cidx = load_cam_index(args.root)
+    imu = load_imu(root)
+    cidx = load_cam_index(root)
 
     # Measurement alignment runs through the native C++ queue
     # (native/measurement_queue.cc — the reference's estimator_node buffer
@@ -114,18 +107,41 @@ def main():
         img_i += 1
         out = pipe.process_image(img, m.t_img)
         n += 1
-        if n % 100 == 0:
+        if progress_every and n % progress_every == 0:
             fps = n / (time.perf_counter() - t0)
             print(f"frame {n}  {fps:.1f} fps  {out.get('kind','')}", flush=True)
-        if args.max_frames and n >= args.max_frames:
+        if max_frames and n >= max_frames:
             break
+    pipe.pg_join()
+    pipe.shutdown()
+    return pipe
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("--config", default="config/euroc.yaml")
+    ap.add_argument("--out", default=".")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from vins_tpu.config import load_config
+    from vins_tpu.core.cameras import camera_from_yaml
+
+    cfg = load_config(args.config)
+    cam = camera_from_yaml(cfg.camera, dtype=jnp.float32)
+    pipe = replay(args.root, cfg, cam, loop=not args.no_loop,
+                  max_frames=args.max_frames)
 
     os.makedirs(args.out, exist_ok=True)
     pipe.write_trajectories(
         os.path.join(args.out, "vins_result_no_loop.tum"),
         os.path.join(args.out, "vins_result_loop.tum"),
     )
-    print(f"done: {n} frames, {len(pipe.trajectory)} poses")
+    print(f"done: {len(pipe.trajectory)} poses")
 
 
 if __name__ == "__main__":

@@ -55,7 +55,8 @@ def main():
 
     t0 = time.time()
     dtype = jnp.float64 if args.cpu else jnp.float32
-    pipe = make_pipeline(loop_closure=args.loop, dtype=dtype)
+    pipe = make_pipeline(loop_closure=args.loop, dtype=dtype,
+                         pg_async=args.loop)
     run = run_proxy(
         duration=args.duration, period=args.period, frame_hz=args.frame_hz,
         seed=args.seed, imu_noise=args.noise, pipe=pipe,
@@ -73,9 +74,12 @@ def main():
     kinds = [e.get("kind") for e in run.events]
     # per-keyframe gate diagnostics (scores → candidate → verify), the
     # instrumentation VERDICT r2 asked for: where does the chain die?
-    kf_evs = [e for e in run.events if "candidate" in e]
+    # (pose-graph results live in pipe.pg_events — the worker's output
+    # stream in async mode, the same records inline in sync mode)
+    kf_evs = [e for e in pipe.pg_events if "candidate" in e]
     gates = {
         "keyframes_queried": len(kf_evs),
+        "dropped_backpressure": pipe.pg_dropped,
         "no_candidate": sum(1 for e in kf_evs if e["candidate"] is None),
         "desc_matches": sum(1 for e in kf_evs
                             if str(e.get("verify", "")).startswith("desc")),
@@ -85,8 +89,8 @@ def main():
                         if str(e.get("verify", "")).startswith("relative")),
         "ok": sum(1 for e in kf_evs if e.get("verify") == "ok"),
     }
-    loops = [{"t": round(float(t), 2), "old": int(e["loop"])}
-             for t, e in zip(run.t, run.events) if e.get("loop") is not None]
+    loops = [{"t": round(float(e["stamp"]), 2), "old": int(e["loop"])}
+             for e in kf_evs if e.get("loop") is not None]
     gt_path_m = float(np.linalg.norm(np.diff(run.p_gt, axis=0), axis=1).sum())
     ate_vio = ate_rmse_tum(pipe.trajectory, run.t, run.p_gt)
     res = {
@@ -114,6 +118,18 @@ def main():
         res["ate_corrected_m"] = ate_c
         res["ate_corrected_pct_path"] = round(100.0 * ate_c / gt_path_m, 3)
         res["pose_graph_keyframes"] = len(pipe.pose_graph.keyframes)
+        res["pose_graph_optimizes"] = pipe.pose_graph.n_optimizes
+        # the reference's vins_result_loop.csv is the OPTIMIZED keyframe
+        # path (pose_graph.cpp:628-644), not the live corrected stream —
+        # score that too
+        kf_path = [(k.stamp, k.p, k.q) for k in pipe.pose_graph.keyframes]
+        ate_kf = ate_rmse_tum(kf_path, run.t, run.p_gt)
+        res["ate_pose_graph_path_m"] = ate_kf
+        if kf_path:
+            write_tum(str(out / f"proxy_pgpath_{tag}.tum"),
+                      np.asarray([e[0] for e in kf_path]),
+                      np.stack([e[1] for e in kf_path]),
+                      np.stack([e[2] for e in kf_path]))
     print(json.dumps(res, indent=1))
     with open(out / f"proxy_{tag}_seed{args.seed}.json", "w") as f:
         json.dump(res, f, indent=1)

@@ -57,6 +57,13 @@ class VinsConfig:
     pg_skip_dis: float = 0.0
     # MIN_LOOP_NUM (keyframe.h:16): matched-descriptor AND PnP-inlier gate
     min_loop_num: int = 25
+    # run the pose-graph stage on a background worker thread (the
+    # reference's separate pose_graph process) — sync by default so tests
+    # and tools see deterministic per-frame results
+    pg_async: bool = False
+    # 4-DoF solve cadence in stream seconds (the reference's 2 s optimize
+    # thread, pose_graph.cpp:403); 0 = solve on every accepted loop
+    pg_opt_interval: float = 2.0
     # keep raw images on keyframes + build loop-match overlays (the
     # reference's DEBUG_IMAGE compile flag, keyframe.h/parameters)
     debug_image: bool = False

@@ -59,8 +59,11 @@ def q2R(q):
 
 
 def R2q(R):
-    """Rotation matrix [3,3] → quaternion (w ≥ 0), Shepperd selection."""
+    """Rotation matrix [...,3,3] → quaternion (w ≥ 0), Shepperd selection.
+    Batched over leading axes."""
     R = np.asarray(R, float)
+    if R.ndim > 2:
+        return _R2q_batch(R)
     m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
     m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
     m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
@@ -86,6 +89,44 @@ def R2q(R):
     return qnormalize(q)
 
 
+def normalize_angle(deg):
+    """Wrap degrees to (-180, 180] (utility.h:134-143)."""
+    deg = np.asarray(deg, float)
+    return deg - 360.0 * np.floor((deg + 180.0) / 360.0)
+
+
+def _R2q_batch(R):
+    """Vectorized Shepperd over leading batch axes."""
+    m = R.reshape(-1, 3, 3)
+    m00, m11, m22 = m[:, 0, 0], m[:, 1, 1], m[:, 2, 2]
+    tr = m00 + m11 + m22
+    # four candidate constructions; pick per-element the numerically best
+    qs = np.zeros((4, len(m), 4))
+    s0 = np.sqrt(np.maximum(tr + 1.0, 1e-12)) * 2
+    qs[0] = np.stack([0.25 * s0, (m[:, 2, 1] - m[:, 1, 2]) / s0,
+                      (m[:, 0, 2] - m[:, 2, 0]) / s0,
+                      (m[:, 1, 0] - m[:, 0, 1]) / s0], axis=-1)
+    s1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2
+    qs[1] = np.stack([(m[:, 2, 1] - m[:, 1, 2]) / s1, 0.25 * s1,
+                      (m[:, 0, 1] + m[:, 1, 0]) / s1,
+                      (m[:, 0, 2] + m[:, 2, 0]) / s1], axis=-1)
+    s2 = np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 1e-12)) * 2
+    qs[2] = np.stack([(m[:, 0, 2] - m[:, 2, 0]) / s2,
+                      (m[:, 0, 1] + m[:, 1, 0]) / s2, 0.25 * s2,
+                      (m[:, 1, 2] + m[:, 2, 1]) / s2], axis=-1)
+    s3 = np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 1e-12)) * 2
+    qs[3] = np.stack([(m[:, 1, 0] - m[:, 0, 1]) / s3,
+                      (m[:, 0, 2] + m[:, 2, 0]) / s3,
+                      (m[:, 1, 2] + m[:, 2, 1]) / s3, 0.25 * s3], axis=-1)
+    case = np.where(
+        tr > 0, 0,
+        np.where((m00 >= m11) & (m00 >= m22), 1, np.where(m11 >= m22, 2, 3)),
+    )
+    q = qs[case, np.arange(len(m))]
+    q = np.where(q[:, :1] < 0, -q, q)
+    return qnormalize(q).reshape(R.shape[:-2] + (4,))
+
+
 def R2ypr(R):
     """Rotation → [yaw, pitch, roll] in DEGREES (utility.h:70-89)."""
     R = np.asarray(R, float)
@@ -100,12 +141,17 @@ def R2ypr(R):
 
 
 def ypr2R(ypr):
-    """[yaw, pitch, roll] DEGREES → rotation matrix (utility.h:91-112)."""
+    """[..., yaw, pitch, roll] DEGREES → rotation matrix (utility.h:91-112).
+    Batched over leading axes."""
     y, p, r = np.moveaxis(np.asarray(ypr, float) / 180.0 * np.pi, -1, 0)
     cy, sy = np.cos(y), np.sin(y)
     cp, sp = np.cos(p), np.sin(p)
     cr, sr = np.cos(r), np.sin(r)
-    Rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
-    Ry = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
-    Rx = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    z, o = np.zeros_like(cy), np.ones_like(cy)
+    Rz = np.stack([np.stack([cy, -sy, z], -1), np.stack([sy, cy, z], -1),
+                   np.stack([z, z, o], -1)], -2)
+    Ry = np.stack([np.stack([cp, z, sp], -1), np.stack([z, o, z], -1),
+                   np.stack([-sp, z, cp], -1)], -2)
+    Rx = np.stack([np.stack([o, z, z], -1), np.stack([z, cr, -sr], -1),
+                   np.stack([z, sr, cr], -1)], -2)
     return Rz @ Ry @ Rx

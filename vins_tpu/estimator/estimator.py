@@ -121,6 +121,9 @@ class Estimator:
 
         self.last_p = np.zeros(3)
         self.last_cost = 0.0
+        # post-init health monitor (see _init_health_check)
+        self._post_init_costs: list = []
+        self.init_rejected_by_health = getattr(self, "init_rejected_by_health", 0)
 
     # -------------------------------------------------------------------- IMU
 
@@ -156,7 +159,10 @@ class Estimator:
                     import warnings
                     warnings.warn(
                         f"IMU interval buffer overflow (N={self.N}); "
-                        "sample dropped — raise imu_buf_len", RuntimeWarning)
+                        "sample dropped — raise imu_buf_len.  Dropped "
+                        "samples also no longer advance the newest-state "
+                        "initial guess (deferred batch propagation covers "
+                        "only buffered samples)", RuntimeWarning)
 
             # all-frames init: accumulate the open published-frame interval
             if self.solver_flag == INITIAL:
@@ -388,6 +394,11 @@ class Estimator:
                 self.failures += 1
                 self.clear_state()
                 return {"ok": False, "reason": "failure detection"}
+            if not self._init_health_check(float(res.cost)):
+                self.failures += 1
+                self.init_rejected_by_health += 1
+                self.clear_state()
+                return {"ok": False, "reason": "bad init (cost health)"}
 
         self._adopt_state(res.state)
         self.prior = prior_dev
@@ -396,6 +407,33 @@ class Estimator:
         self._slide(marg_old)
         self.last_p = self.p[self.W].copy()
         return {"ok": True, "marg_old": bool(marg_old), "cost": self.last_cost}
+
+    # thresholds for the post-init health monitor: whitened total cost of a
+    # converged healthy window sits around 1e2-1e3 on the proxy; a mis-scaled
+    # init leaves the solver fighting IMU-vs-vision tension at orders of
+    # magnitude above that for many frames (the round-3 artifact's failure
+    # mode: accepted bad init → 33 %-of-path drift with no reboot)
+    INIT_HEALTH_FRAMES = 12   # monitor the first N post-init solves
+    INIT_HEALTH_SKIP = 4      # ignore the first few (re-triangulation settling)
+    INIT_COST_MAX = 1.0e5     # median cost above this ⇒ reboot + re-init
+
+    def _init_health_check(self, cost: float) -> bool:
+        """Post-init scale/consistency guard: the reference accepts any
+        alignment with s > 0 (initial_aligment.cpp:190-194) and its failure
+        detection (estimator.cpp:621-667) only fires on bias/jump explosions
+        — a mis-scaled init can drift 30 % of path without tripping either.
+        Watch the whitened window cost over the first solves after init; a
+        persistently pathological median means the initialization was bad →
+        reboot and retry (clearState, the same recovery path as
+        failureDetection)."""
+        c = self._post_init_costs
+        if len(c) >= self.INIT_HEALTH_FRAMES:
+            return True
+        c.append(cost)
+        if len(c) == self.INIT_HEALTH_FRAMES:
+            med = float(np.median(c[self.INIT_HEALTH_SKIP:]))
+            return med < self.INIT_COST_MAX
+        return True
 
     def _slide(self, marg_old: bool):
         """slideWindow (estimator.cpp:1005-1126) on the host buffers.  The

@@ -9,8 +9,11 @@ Host-side equivalent of Estimator::initialStructure + visualInitialAlign
   frame 0 zeroed, velocities rotated to world, depths reset for
   re-triangulation).
 
-The reference aligns over `all_image_frame` (every frame since start); we
-align over the window frames — same equations, bounded shapes.
+The reference aligns over `all_image_frame` (every frame since start); the
+primary path here does the same over a fixed-size ring of recent published
+frames (make_align_all_pipeline), falling back to the window keyframes
+(make_align_pipeline) when the ring can't serve — same equations, bounded
+shapes.
 """
 from __future__ import annotations
 
@@ -158,11 +161,14 @@ class Initializer:
     # scale-observability acceptance: reject an alignment whose scale
     # estimate carries more than this relative 1σ (from the LS fit residual
     # + covariance, alignment.py::_ls_qr).  The reference accepts any s > 0
-    # (initial_aligment.cpp:190-194) and relies on double precision + luck;
-    # a marginal window (low excitation, short baseline) can produce an
-    # accepted-but-3×-off scale from which VIO never recovers — rejecting it
-    # here simply retries next frame, when the all-frames ring has grown.
-    SCALE_REL_SIGMA_MAX = 0.25
+    # (initial_aligment.cpp:190-194); the round-3 gate at 0.25 rejected
+    # alignments that demonstrably converge (round-2's accepted first
+    # attempt measured σ_rel≈0.7 after the dof fix and produced 0.27 m ATE
+    # over 22 s), so the calibrated gate only rejects scale that is
+    # UNOBSERVABLE at the ≥100 % level — everything milder is accepted like
+    # the reference and guarded by the post-init scale-consistency check
+    # (estimator.py::_scale_health_check) instead.
+    SCALE_REL_SIGMA_MAX = 1.0
 
     def __init__(self, noise: ImuNoise, g_norm: float, focal: float = 460.0,
                  dtype=jnp.float64):

@@ -132,6 +132,46 @@ def make_front_step(camera, max_cnt: int, min_dist: int, f_threshold: float,
             prev_ids=jnp.where(valid, ids, -1),
             prev_img=im,
         )
-        return new_state, (un, vel, pub_mask, n_new)
+        # ONE packed f32 output blob: on a remote-attached chip every
+        # fetched array pays a full round trip (~30 ms measured through the
+        # tunnel) — eight small arrays cost 8 RTTs, one blob costs one.
+        # Integers ride along bitcast to f32 (host views them back).
+        as_f = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
+        blob = jnp.concatenate([
+            un.astype(jnp.float32).ravel(),          # [2M]
+            vel.astype(jnp.float32).ravel(),         # [2M]
+            pts.astype(jnp.float32).ravel(),         # [2M]
+            pub_mask.astype(jnp.float32),            # [M]
+            valid.astype(jnp.float32),               # [M]
+            as_f(track_cnt),                         # [M]
+            as_f(ids),                               # [M]
+            as_f(n_new[None]),                       # [1]
+        ])
+        return new_state, blob
 
     return step
+
+
+def unpack_front_blob(blob: "np.ndarray", M: int):
+    """Host-side decode of the packed step output (same layout as above)."""
+    import numpy as np
+
+    b = np.asarray(blob)
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = b[o:o + n]
+        o += n
+        return out
+
+    un = take(2 * M).reshape(M, 2)
+    vel = take(2 * M).reshape(M, 2)
+    pts = take(2 * M).reshape(M, 2)
+    pub_mask = take(M) > 0.5
+    valid = take(M) > 0.5
+    track_cnt = take(M).view(np.int32)[:M]
+    ids = take(M).view(np.int32)[:M]
+    n_new = int(take(1).view(np.int32)[0])
+    return un, vel, pts, pub_mask, valid, track_cnt, ids, n_new

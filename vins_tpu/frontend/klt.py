@@ -6,6 +6,13 @@ MAX_CNT feature slots are tracked every frame (invalid slots masked), each
 level runs a fixed iteration count with an ε-freeze (converged features stop
 moving instead of exiting the loop), and the status mirrors OpenCV's
 min-eigenvalue + border checks.
+
+Memory-access shape: every sample is a CONTIGUOUS `lax.dynamic_slice`
+patch + static shifted-slice arithmetic for sub-pixel bilinear — never an
+elementwise gather.  A batched block slice is one efficient gather-of-blocks
+on TPU, while the round-2 formulation (per-pixel `img[y, x]` bilinear over
+21×21×10 iterations×3 levels×150 features ≈ 40 M random gathers/frame) was
+the front-end's entire 170 ms budget.
 """
 from __future__ import annotations
 
@@ -15,47 +22,69 @@ import jax
 import jax.numpy as jnp
 
 from ..core.linalg import inv2x2
-from .image import bilinear, build_pyramid
+from .image import build_pyramid
 
 
-def _patch_grid(win: int, dtype):
-    half = win // 2
-    r = jnp.arange(-half, half + 1, dtype=dtype)
-    ox, oy = jnp.meshgrid(r, r, indexing="xy")
-    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # [win², 2]
+def _shift_bilinear(patch: jax.Array, fx, fy):
+    """Sample `patch` on the unit-shifted grid: out[j,i] = bilinear value at
+    (i + fx, j + fy) with fx,fy ∈ [0,1).  [P,P] → [P-1,P-1], static slices."""
+    a = patch[:-1, :-1]
+    b = patch[:-1, 1:]
+    c = patch[1:, :-1]
+    d = patch[1:, 1:]
+    return (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+            + c * (1 - fx) * fy + d * fx * fy)
 
 
-def _lk_level(img0, img1, p0, g, valid, offs, iters, eps, min_eig_thresh):
+def _lk_level(img0, img1, p0, g, valid, win, iters, eps, min_eig_thresh):
     """One pyramid level for all features.  p0: [N,2] feature positions in
-    this level's coordinates; g: [N,2] current flow guesses (positions in
-    img1).  Returns (g_new, ok)."""
+    this level's coordinates (img0/img1 are edge-padded by `pad = half+2`,
+    matching cv::buildOpticalFlowPyramid's replicated borders); g: [N,2]
+    current flow guesses (positions in img1).  Returns (g_new, ok)."""
     dtype = img0.dtype
+    half = win // 2
+    pad = half + 2
+    Hp, Wp = img0.shape  # padded dims
+    W = Wp - 2 * pad
+    H = Hp - 2 * pad
+    P0 = win + 3  # template patch: bilinear + central-difference margin
+    P1 = win + 1  # iteration patch: bilinear margin
 
     def per_feature(p, gk, v):
-        pts0 = p[None, :] + offs  # [P,2]
-        # template intensities + gradients (central differences on img0)
-        t = bilinear(img0, pts0)
-        dx = jnp.asarray([1.0, 0.0], dtype)
-        dy = jnp.asarray([0.0, 1.0], dtype)
-        gx = 0.5 * (bilinear(img0, pts0 + dx) - bilinear(img0, pts0 - dx))
-        gy = 0.5 * (bilinear(img0, pts0 + dy) - bilinear(img0, pts0 - dy))
-        G = jnp.stack(
-            [
-                jnp.stack([jnp.sum(gx * gx), jnp.sum(gx * gy)]),
-                jnp.stack([jnp.sum(gx * gy), jnp.sum(gy * gy)]),
-            ]
-        )
+        # ---- template + gradients from img0, one block slice -------------
+        ix = jnp.floor(p[0]).astype(jnp.int32)
+        iy = jnp.floor(p[1]).astype(jnp.int32)
+        fx = p[0] - ix.astype(dtype)
+        fy = p[1] - iy.astype(dtype)
+        x0 = jnp.clip(ix - half - 1 + pad, 0, Wp - P0)
+        y0 = jnp.clip(iy - half - 1 + pad, 0, Hp - P0)
+        patch0 = jax.lax.dynamic_slice(img0, (y0, x0), (P0, P0))
+        S = _shift_bilinear(patch0, fx, fy)  # [win+2, win+2]
+        t = S[1:win + 1, 1:win + 1]
+        gx = 0.5 * (S[1:win + 1, 2:win + 2] - S[1:win + 1, 0:win])
+        gy = 0.5 * (S[2:win + 2, 1:win + 1] - S[0:win, 1:win + 1])
+
+        G = jnp.stack([
+            jnp.stack([jnp.sum(gx * gx), jnp.sum(gx * gy)]),
+            jnp.stack([jnp.sum(gx * gy), jnp.sum(gy * gy)]),
+        ])
         # min eigenvalue of G, normalized per pixel (OpenCV minEigThreshold)
         tr = G[0, 0] + G[1, 1]
         det = G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]
         disc = jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-        min_eig = (0.5 * tr - disc) / offs.shape[0]
+        min_eig = (0.5 * tr - disc) / (win * win)
         ok = (min_eig > min_eig_thresh) & v
         Ginv = inv2x2(G + 1e-9 * jnp.eye(2, dtype=dtype))
 
         def body(i, gcur):
-            pts1 = gcur[None, :] + offs
-            d = bilinear(img1, pts1) - t
+            jx = jnp.floor(gcur[0] - half).astype(jnp.int32)
+            jy = jnp.floor(gcur[1] - half).astype(jnp.int32)
+            gfx = (gcur[0] - half) - jx.astype(dtype)
+            gfy = (gcur[1] - half) - jy.astype(dtype)
+            x1 = jnp.clip(jx + pad, 0, Wp - P1)
+            y1 = jnp.clip(jy + pad, 0, Hp - P1)
+            patch1 = jax.lax.dynamic_slice(img1, (y1, x1), (P1, P1))
+            d = _shift_bilinear(patch1, gfx, gfy) - t  # [win, win]
             b = jnp.stack([jnp.sum(d * gx), jnp.sum(d * gy)])
             step = -Ginv @ b
             # ε-freeze: converged features stop updating
@@ -91,16 +120,16 @@ def lk_pyramidal(
     dtype = pts.dtype
     img0 = img0.astype(dtype)
     img1 = img1.astype(dtype)
-    pyr0 = build_pyramid(img0, levels)
-    pyr1 = build_pyramid(img1, levels)
-    offs = _patch_grid(win, dtype)
+    pad = win // 2 + 2
+    pyr0 = [jnp.pad(p, pad, mode="edge") for p in build_pyramid(img0, levels)]
+    pyr1 = [jnp.pad(p, pad, mode="edge") for p in build_pyramid(img1, levels)]
 
     scale_top = 2.0 ** (levels - 1)
     g = pts / scale_top
     ok = valid
     for lvl in range(levels - 1, -1, -1):
         p0 = pts / (2.0**lvl)
-        g, ok_l = _lk_level(pyr0[lvl], pyr1[lvl], p0, g, valid, offs, iters,
+        g, ok_l = _lk_level(pyr0[lvl], pyr1[lvl], p0, g, valid, win, iters,
                             eps, min_eig_thresh)
         ok = ok & ok_l
         if lvl > 0:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fused import make_front_state, make_front_step
+from .fused import make_front_state, make_front_step, unpack_front_blob
 
 
 class FrameFeatures(NamedTuple):
@@ -86,24 +86,27 @@ class FeatureTracker:
 
         dt = (t - self.prev_time) if self.prev_time is not None else 0.0
         self._key, sub = jax.random.split(self._key)
-        self._state, outs = self._step(
+        self._state, blob = self._step(
             self._state, img, np.float32(dt), sub, np.int32(self.n_id),
             publish=bool(publish), has_prev=self._has_prev,
         )
-        # ONE batched fetch per frame: outputs + the slot mirrors
-        (un, vel, pub_mask, n_new), pts, valid, cnt, ids = jax.device_get(
-            (outs, self._state.pts, self._state.valid,
-             self._state.track_cnt, self._state.ids))
+        self.prev_time = t
+        self._has_prev = True
+        if not publish:
+            # track-only frames never touch the host: ids are only allocated
+            # on publish frames (top-up detection runs there, matching the
+            # reference's PUB_THIS_FRAME gating), so the host mirrors can
+            # lag until the next publish — zero round trips here
+            return None
+        # ONE packed fetch per published frame (a tuple of small arrays
+        # costs one tunnel round trip EACH; the blob costs one total)
+        un, vel, pts, pub_mask, valid, cnt, ids, n_new = unpack_front_blob(
+            jax.device_get(blob), self.M)
         self.pts = np.asarray(pts, float)
         self.valid = valid
         self.track_cnt = cnt.astype(np.int64)
         self.ids = ids.astype(np.int64)
         self.n_id += int(n_new)
-        self.prev_time = t
-        self._has_prev = True
-
-        if not publish:
-            return None
         return FrameFeatures(
             ids=self.ids[pub_mask].copy(),
             pts=np.asarray(un, float)[pub_mask],

@@ -6,9 +6,9 @@ TPU-native re-expression of vins_estimator/src/initial/initial_aligment.cpp:
   * refine_gravity        ← RefineGravity (:55-123)
   * visual_imu_alignment  ← VisualIMUAlignment (:199-207)
 
-All solves are fixed-shape batched linear algebra over the F window frames
-(the reference runs them over every frame in `all_image_frame`; we run them
-over the window keyframes — same equations).  Velocities are solved in each
+All solves are fixed-shape batched linear algebra over F frames — the
+window keyframes, or (primary path) the all-frames ring mirroring the
+reference's `all_image_frame`.  Velocities are solved in each
 frame's *body* frame, matching the reference's unknown layout; the caller
 rotates them to world (estimator.cpp:421-423).
 """
@@ -83,7 +83,12 @@ def _ls_qr(A: jax.Array, b: jax.Array, pin: jax.Array | None = None):
     # cov_ss = σ²·‖w‖² with Rᵀw = e_s (s = last column)
     e_s = jnp.zeros((n,), dtype).at[-1].set(1.0)
     w = jax.scipy.linalg.solve_triangular(Rn.T, e_s, lower=True)
-    dof = jnp.maximum(jnp.sum((jnp.abs(Af) > 0).any(axis=1)) - n, 1).astype(dtype)
+    # dof counts DATA rows only (not the synthetic ridge/pin rows, which are
+    # always nonzero) against the FREE parameters (pinned columns aren't
+    # free): dof = data_rows − (n − n_pinned)
+    data_rows = jnp.sum((jnp.abs(A) > 0).any(axis=1))
+    n_pin = 0 if pin is None else jnp.sum(pin > 0)
+    dof = jnp.maximum(data_rows - (n - n_pin), 1).astype(dtype)
     sigma2 = rnorm * rnorm / dof
     s_sigma = jnp.sqrt(sigma2) * jnp.linalg.norm(w)
     rel = s_sigma / jnp.maximum(jnp.abs(x[-1]), 1e-12)

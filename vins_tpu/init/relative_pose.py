@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import smallest_eigvec, svd3x3
 
 
 class RelPose(NamedTuple):
@@ -42,10 +43,11 @@ def _eight_point(x1: jax.Array, x2: jax.Array, w: jax.Array) -> jax.Array:
     h1 = jnp.concatenate([x1, ones], axis=-1)  # [M,3]
     h2 = jnp.concatenate([x2, ones], axis=-1)
     A = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9) * w[:, None]
-    # null vector of A: eigenvector of AᵀA with smallest eigenvalue
-    _, V = jnp.linalg.eigh(A.T @ A)
-    E = V[:, 0].reshape(3, 3)
-    U, S, Vt = jnp.linalg.svd(E)
+    # null vector of A: smallest eigenvector of AᵀA — ridged inverse
+    # iteration (core/linalg.py), not jnp.linalg.eigh, which lowers to a
+    # sequential QR loop on TPU (~ms per call; this runs 65×/frame)
+    E = smallest_eigvec(A.T @ A).reshape(3, 3)
+    U, S, Vt = svd3x3(E)
     return (U * jnp.asarray([1.0, 1.0, 0.0], E.dtype)[None, :]) @ Vt
 
 
@@ -64,30 +66,32 @@ def _sampson_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 
 
 def _triangulate_two_view(R, t, x1, x2):
-    """DLT-triangulate points in frame-1 coordinates given P1=[I|0],
-    P2=[R|t] with X_2 = R X_1 + t.  Returns (X [N,3], z1, z2)."""
-    P2 = jnp.concatenate([R, t[:, None]], axis=1)  # [3,4]
-
-    def rows(P, x):
-        # x·(P row 2) − P row 0 ; y·(P row 2) − P row 1
-        return jnp.stack(
-            [x[..., 0:1] * P[2] - P[0], x[..., 1:2] * P[2] - P[1]], axis=-2
-        )
-
-    I0 = jnp.concatenate([jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], 1)
-    A = jnp.concatenate([rows(I0, x1), rows(P2, x2)], axis=-2)  # [N,4,4]
-    _, V = jnp.linalg.eigh(jnp.einsum("nij,nik->njk", A, A))
-    Xh = V[..., 0]
-    w = Xh[..., 3]
-    X = Xh[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
-    z1 = X[..., 2]
-    z2 = X @ R[2] + t[2]
+    """Two-view depths for cheirality voting, closed form: with rays
+    h1 = [x1,1] in frame 1 and h2 = [x2,1] in frame 2 (X_2 = R X_1 + t),
+    solve min ‖z1·R h1 − z2·h2 + t‖² — a 2×2 normal system per point
+    (replaces the DLT eigh of a [N,4,4] stack, which lowers to TPU's
+    sequential eigensolver).  Returns (X [N,3] in frame 1, z1, z2)."""
+    ones = jnp.ones_like(x1[..., :1])
+    h1 = jnp.concatenate([x1, ones], axis=-1)  # [N,3]
+    h2 = jnp.concatenate([x2, ones], axis=-1)
+    a = h1 @ R.T  # [N,3] = R h1
+    aa = jnp.sum(a * a, axis=-1)
+    bb = jnp.sum(h2 * h2, axis=-1)
+    ab = jnp.sum(a * h2, axis=-1)
+    at = a @ t
+    bt = h2 @ t
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # normal equations of [a, -h2] [z1, z2]ᵀ = -t
+    z1 = (-at * bb + ab * bt) / det
+    z2 = (-ab * at + aa * bt) / det
+    X = z1[..., None] * h1
     return X, z1, z2
 
 
 def decompose_essential(E: jax.Array):
     """The 4 candidate (R, t) with X_2 = R X_1 + t (solve_5pts.cpp:4-33)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3x3(E)
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
     W = jnp.asarray([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]], E.dtype)

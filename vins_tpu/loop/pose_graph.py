@@ -7,12 +7,22 @@ TPU-native re-expression of pose_graph/src/{keyframe.cpp, pose_graph.cpp}:
   * `PoseGraph.add_keyframe`: sequence shift → retrieval query (detectLoop,
     pose_graph.cpp:304-386) → descriptor matching + PnP-RANSAC geometric
     verification (findConnection, keyframe.cpp:259-520) → 4-DoF optimization
-    (optimize4DoF, :403-579, run synchronously here — deterministic, no 2 s
-    thread) → drift update + keyframe re-mapping.
+    (optimize4DoF, :403-579) → drift update + keyframe re-mapping.
   * map merge: the first loop from a new sequence to the base map computes a
     yaw+translation shift re-mapping the whole sequence (:103-124).
   * save/load: npz map file (the reference's pose_graph.txt + per-kf binary
     descriptor dumps, pose_graph.cpp:697-870).
+
+Performance shape (the round-3 bottleneck was this file + retrieval.py):
+  * graph bookkeeping lives in HOST numpy — the per-keyframe updates that
+    used to be ~6 eager device dispatches are array stores; device arrays
+    are built once per 4-DoF solve;
+  * the 4-DoF solve runs over the ACTIVE slice [earliest_loop_index, cur]
+    padded to a power-of-two bucket (the reference optimizes the same range,
+    pose_graph.cpp:450-477) instead of the full capacity;
+  * solves are throttled to one per `opt_interval_s` of stream time — the
+    reference's 2 s background optimize thread (pose_graph.cpp:403) — with
+    pending loops batched into the next solve; `flush()` forces the solve.
 """
 from __future__ import annotations
 
@@ -25,7 +35,7 @@ import numpy as np
 
 from ..core import lie, nplie
 from .brief import brief_describe, fast_detect, match_descriptors, smooth_for_brief
-from .optimize4dof import GraphArrays, drift_from, optimize_4dof
+from .optimize4dof import GraphArrays, optimize_4dof
 from .retrieval import KeyframeDB, pick_loop_candidate
 from .verify import pnp_ransac, relative_check
 
@@ -96,32 +106,68 @@ def describe_window_points(img, uv):
     return brief_describe(sm, jnp.asarray(uv, jnp.float32))
 
 
+class HostGraph:
+    """Host (numpy) mirrors of the pose-graph tensors — updated per keyframe
+    at array-store cost, uploaded to the device once per 4-DoF solve."""
+
+    def __init__(self, capacity: int):
+        self.K = capacity
+        self.t_vio = np.zeros((capacity, 3))
+        self.ypr_vio = np.zeros((capacity, 3))
+        self.yaw = np.zeros(capacity)
+        self.t = np.zeros((capacity, 3))
+        self.loop_to = np.full(capacity, -1, np.int32)
+        self.loop_t = np.zeros((capacity, 3))
+        self.loop_yaw = np.zeros(capacity)
+        self.used = np.zeros(capacity, bool)
+
+    def grow(self):
+        K = self.K
+        self.K = 2 * K
+        pad = lambda a: np.concatenate([a, np.zeros_like(a)], axis=0)
+        self.t_vio = pad(self.t_vio)
+        self.ypr_vio = pad(self.ypr_vio)
+        self.yaw = pad(self.yaw)
+        self.t = pad(self.t)
+        self.loop_to = np.concatenate([self.loop_to,
+                                       np.full(K, -1, np.int32)])
+        self.loop_t = pad(self.loop_t)
+        self.loop_yaw = pad(self.loop_yaw)
+        self.used = pad(self.used)
+
+
 class PoseGraph:
     def __init__(self, qic, tic, capacity: int = 512, db: KeyframeDB | None = None,
-                 min_loop_inliers: int = 25, exclude_last: int = 50):
+                 min_loop_inliers: int = 25, exclude_last: int = 50,
+                 opt_interval_s: float = 0.0):
         self.qic = np.array(qic, float)
         self.tic = np.array(tic, float)
-        self.K = capacity
         self.keyframes: list[KeyFrame] = []
         self.db = db or KeyframeDB(capacity_round(capacity), 256)
         self.min_loop_inliers = min_loop_inliers
         self.exclude_last = exclude_last  # detectLoop skips recent frames (pose_graph.cpp:319)
-        # drift correction (vio → corrected), and sequence-merge shifts
-        self.r_drift = np.eye(3)
-        self.t_drift = np.zeros(3)
+        # drift correction (vio → corrected) as one atomically-swapped tuple
+        # (read concurrently by the frame loop when the pose graph runs in a
+        # background worker), and sequence-merge shifts
+        self._drift = (np.eye(3), np.zeros(3))
         self.seq_shift = {0: (np.eye(3), np.zeros(3))}  # seq → (R, t) vio shift
         self.earliest_loop_index = -1
         self._key = jax.random.PRNGKey(11)
-        self._graph = self._empty_graph()
+        self.graph = HostGraph(capacity_round(capacity))
+        # 4-DoF solve cadence (the reference's 2 s optimize thread)
+        self.opt_interval_s = opt_interval_s
+        self._opt_pending = False
+        self._last_opt_stamp = -np.inf
+        self.n_optimizes = 0
 
-    def _empty_graph(self) -> GraphArrays:
-        K = self.K
-        z = jnp.zeros
-        return GraphArrays(
-            t_vio=z((K, 3)), ypr_vio=z((K, 3)), yaw=z((K,)), t=z((K, 3)),
-            loop_to=jnp.full((K,), -1, jnp.int32), loop_t=z((K, 3)),
-            loop_yaw=z((K,)), used=z((K,), bool), fixed=z((K,), bool),
-        )
+    # drift kept API-compatible with round-3 callers
+    @property
+    def r_drift(self):
+        return self._drift[0]
+
+    @property
+    def t_drift(self):
+        return self._drift[1]
 
     # ------------------------------------------------------------------ add
 
@@ -130,27 +176,23 @@ class PoseGraph:
         if kf.sequence not in self.seq_shift:
             self.seq_shift[kf.sequence] = (np.eye(3), np.zeros(3))
         Rs, ts = self.seq_shift[kf.sequence]
+        r_drift, t_drift = self._drift
         kf.p_vio = Rs @ kf.p_vio + ts
         kf.q_vio = nplie.qmul(nplie.R2q(Rs), kf.q_vio)
-        kf.p = self.r_drift @ kf.p_vio + self.t_drift
-        kf.q = nplie.qmul(nplie.R2q(self.r_drift), kf.q_vio)
+        kf.p = r_drift @ kf.p_vio + t_drift
+        kf.q = nplie.qmul(nplie.R2q(r_drift), kf.q_vio)
 
         i = len(self.keyframes)
         kf.index = i
-        if i >= self.K:
-            self._grow()
+        if i >= self.graph.K:
+            self.graph.grow()
         self.keyframes.append(kf)
-        ypr = _ypr(kf.q_vio)
-        g = self._graph
-        g = g._replace(
-            t_vio=g.t_vio.at[i].set(jnp.asarray(kf.p_vio)),
-            ypr_vio=g.ypr_vio.at[i].set(jnp.asarray(ypr)),
-            yaw=g.yaw.at[i].set(_ypr(kf.q)[0]),
-            t=g.t.at[i].set(jnp.asarray(kf.p)),
-            used=g.used.at[i].set(True),
-            fixed=g.fixed.at[i].set(i == 0),
-        )
-        self._graph = g
+        g = self.graph
+        g.t_vio[i] = kf.p_vio
+        g.ypr_vio[i] = _ypr(kf.q_vio)
+        g.yaw[i] = _ypr(kf.q)[0]
+        g.t[i] = kf.p
+        g.used[i] = True
 
         out = {"index": i, "loop": None}
         cand = None
@@ -168,8 +210,29 @@ class PoseGraph:
             out["verify"] = why
             if ok:
                 out["loop"] = int(cand)
-                self._optimize(kf.index)
+                self._opt_pending = True
+        # throttled 4-DoF solve (the reference's 2 s optimize thread wakes,
+        # drains optimize_buf, and solves — pose_graph.cpp:403-416)
+        if self._opt_pending and (
+            kf.stamp - self._last_opt_stamp >= self.opt_interval_s
+        ):
+            self._run_optimize(kf.stamp)
         return out
+
+    def flush(self):
+        """Force the pending 4-DoF solve (end of stream / tests)."""
+        if self._opt_pending and self.keyframes:
+            self._run_optimize(self.keyframes[-1].stamp)
+
+    def _run_optimize(self, stamp: float):
+        cur = max((k.index for k in self.keyframes if k.loop_index >= 0),
+                  default=-1)
+        if cur < 0:
+            self._opt_pending = False
+            return
+        self._optimize(cur)
+        self._opt_pending = False
+        self._last_opt_stamp = stamp
 
     # ------------------------------------------------------- loop validation
 
@@ -203,7 +266,6 @@ class PoseGraph:
         old_fast_pts = jax.device_get(old.fast_pts)
         x_old = jnp.asarray(old_fast_pts[midx], jnp.float64)
         # initial guess: current keyframe CAMERA pose from VIO
-        Ric = nplie.q2R(self.qic)
         R_b = nplie.q2R(kf.q_vio)
         p_c0 = kf.p_vio + R_b @ self.tic
         q_c0 = jnp.asarray(nplie.qmul(kf.q_vio, self.qic))
@@ -266,19 +328,17 @@ class PoseGraph:
         kf.loop_rel_t = np.array(rel_t)
         kf.loop_rel_yaw = float(rel_yaw)
         kf.loop_rel_q = nplie.qmul(nplie.qconj(q_old_b), kf.q_vio)
-        g = self._graph
-        self._graph = g._replace(
-            loop_to=g.loop_to.at[kf.index].set(old_idx),
-            loop_t=g.loop_t.at[kf.index].set(jnp.asarray(kf.loop_rel_t)),
-            loop_yaw=g.loop_yaw.at[kf.index].set(kf.loop_rel_yaw),
-        )
+        g = self.graph
+        g.loop_to[kf.index] = old_idx
+        g.loop_t[kf.index] = kf.loop_rel_t
+        g.loop_yaw[kf.index] = kf.loop_rel_yaw
         if self.earliest_loop_index < 0 or old_idx < self.earliest_loop_index:
             self.earliest_loop_index = old_idx
 
         # map merge: first loop from a non-base sequence (pose_graph.cpp:103-124)
         if kf.sequence != old.sequence and kf.sequence not in getattr(self, "_merged", set()):
             self._merge_sequences(kf, old)
-        return True, "ok" 
+        return True, "ok"
 
     def _merge_sequences(self, kf: KeyFrame, old: KeyFrame):
         """yaw+t shift mapping kf's sequence onto the old sequence's world."""
@@ -290,41 +350,80 @@ class PoseGraph:
         self.seq_shift[kf.sequence] = (Rsh, tsh)
         self._merged = getattr(self, "_merged", set()) | {kf.sequence}
         # re-shift this keyframe + every stored kf of the same sequence
+        g = self.graph
         for k in self.keyframes:
             if k.sequence == kf.sequence:
                 k.p_vio = Rsh @ k.p_vio + tsh
                 k.q_vio = nplie.qmul(nplie.R2q(Rsh), k.q_vio)
-                self._graph = self._graph._replace(
-                    t_vio=self._graph.t_vio.at[k.index].set(jnp.asarray(k.p_vio)),
-                    ypr_vio=self._graph.ypr_vio.at[k.index].set(jnp.asarray(_ypr(k.q_vio))),
-                )
+                g.t_vio[k.index] = k.p_vio
+                g.ypr_vio[k.index] = _ypr(k.q_vio)
 
     # ---------------------------------------------------------------- solve
 
     def _optimize(self, cur: int):
-        g = self._graph
-        # gauge: fix the earliest looped keyframe (pose_graph.cpp:473-477)
-        fixed = jnp.zeros_like(g.fixed).at[max(self.earliest_loop_index, 0)].set(True)
-        g = g._replace(fixed=fixed)
-        g = optimize_4dof(g, iters=5)
-        self._graph = g
+        """One 4-DoF solve over the active slice [earliest_loop_index, cur]
+        (the reference optimizes the same range, pose_graph.cpp:450-477),
+        padded to a power-of-two bucket so a handful of program sizes cover
+        any map; write-back and drift update are vectorized numpy."""
+        g = self.graph
+        base = max(self.earliest_loop_index, 0)
+        n = cur + 1 - base
+        size = 64
+        while size < n:
+            size *= 2
 
-        yaw_drift, R_drift, t_drift = drift_from(g, cur)
-        self.r_drift = np.array(R_drift)
-        self.t_drift = np.array(t_drift)
+        def pad(a, fill=0.0):
+            out = np.full((size,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a[base: cur + 1]
+            return out
 
-        # write back optimized poses; keyframes after cur get drift-corrected
-        # (pose_graph.cpp:549-571)
-        yaw = np.array(g.yaw)
-        t = np.array(g.t)
-        for k in self.keyframes[: cur + 1]:
-            ypr_v = _ypr(k.q_vio)
-            R = nplie.ypr2R(np.array([yaw[k.index], ypr_v[1], ypr_v[2]]))
-            k.p = t[k.index]
-            k.q = nplie.R2q(R)
-        for k in self.keyframes[cur + 1 :]:
-            k.p = self.r_drift @ k.p_vio + self.t_drift
-            k.q = nplie.qmul(nplie.R2q(self.r_drift), k.q_vio)
+        loop_to = pad(g.loop_to, -1)
+        # shift loop targets into the slice (all loops point ≥ base)
+        loop_to = np.where(loop_to >= 0, loop_to - base, -1).astype(np.int32)
+        fixed = np.zeros(size, bool)
+        fixed[0] = True  # gauge: earliest looped keyframe (pose_graph.cpp:473)
+        dev = GraphArrays(
+            t_vio=jnp.asarray(pad(g.t_vio)),
+            ypr_vio=jnp.asarray(pad(g.ypr_vio)),
+            yaw=jnp.asarray(pad(g.yaw)),
+            t=jnp.asarray(pad(g.t)),
+            loop_to=jnp.asarray(loop_to),
+            loop_t=jnp.asarray(pad(g.loop_t)),
+            loop_yaw=jnp.asarray(pad(g.loop_yaw)),
+            used=jnp.asarray(pad(g.used, False)),
+            fixed=jnp.asarray(fixed),
+        )
+        solved = optimize_4dof(dev, iters=5)
+        yaw, t = jax.device_get((solved.yaw, solved.t))
+        g.yaw[base: cur + 1] = yaw[:n]
+        g.t[base: cur + 1] = t[:n]
+        self.n_optimizes += 1
+
+        # drift at cur (pose_graph.cpp:549-557)
+        yaw_drift = nplie.normalize_angle(g.yaw[cur] - g.ypr_vio[cur, 0])
+        R_drift = _yawR(yaw_drift)
+        t_drift = g.t[cur] - R_drift @ g.t_vio[cur]
+        self._drift = (R_drift, t_drift)
+
+        # vectorized write-back of optimized poses ≤ cur …
+        ypr_v = g.ypr_vio[base: cur + 1]
+        R = nplie.ypr2R(np.stack([yaw[:n], ypr_v[:, 1], ypr_v[:, 2]], axis=-1))
+        qs = nplie.R2q(R)
+        for off, k in enumerate(self.keyframes[base: cur + 1]):
+            k.p = t[off]
+            k.q = qs[off]
+        # … and drift-corrected poses after cur (:562-571)
+        tail = self.keyframes[cur + 1:]
+        if tail:
+            p_vio = np.stack([k.p_vio for k in tail])
+            q_vio = np.stack([k.q_vio for k in tail])
+            p_new = p_vio @ R_drift.T + t_drift
+            q_new = nplie.qmul(nplie.R2q(R_drift)[None], q_vio)
+            for off, k in enumerate(tail):
+                k.p = p_new[off]
+                k.q = q_new[off]
+                g.t[k.index] = p_new[off]
+                g.yaw[k.index] = _ypr(q_new[off])[0]
 
     def update_keyframe_loop(self, index: int, rel_t, rel_q, rel_yaw: float):
         """Adopt a BA-refined loop edge from the estimator's fast-
@@ -339,12 +438,11 @@ class PoseGraph:
         kf.loop_rel_t = np.asarray(rel_t, float)
         kf.loop_rel_q = np.asarray(rel_q, float)
         kf.loop_rel_yaw = float(rel_yaw)
-        g = self._graph
-        self._graph = g._replace(
-            loop_to=g.loop_to.at[index].set(kf.loop_index),
-            loop_t=g.loop_t.at[index].set(jnp.asarray(kf.loop_rel_t)),
-            loop_yaw=g.loop_yaw.at[index].set(kf.loop_rel_yaw),
-        )
+        g = self.graph
+        g.loop_to[index] = kf.loop_index
+        g.loop_t[index] = kf.loop_rel_t
+        g.loop_yaw[index] = kf.loop_rel_yaw
+        self._opt_pending = True
         # immediate drift update (:901-922): place this keyframe where the
         # loop edge says it should be, relative to the old keyframe's
         # pose-graph pose
@@ -353,29 +451,20 @@ class PoseGraph:
         w_P_cur = old.p + R_old @ kf.loop_rel_t
         yaw_cur = _ypr(old.q)[0] + kf.loop_rel_yaw
         shift_r = _yawR(yaw_cur - _ypr(kf.q_vio)[0])
-        self.r_drift = shift_r
-        self.t_drift = w_P_cur - shift_r @ kf.p_vio
+        self._drift = (shift_r, w_P_cur - shift_r @ kf.p_vio)
         # (the next 4-DoF optimization pass refines the whole graph with the
         # updated edge; the reference likewise defers to its 2 s PGO thread)
         return True
-
-    def _grow(self):
-        self.K *= 2
-        old = self._graph
-        new = self._empty_graph()
-        n = old.used.shape[0]
-        self._graph = jax.tree.map(
-            lambda dst, src: dst.at[:n].set(src), new, old
-        )
 
     def correct_pose(self, p_vio, q_vio, sequence=1):
         """Live output correction (vio_callback, pose_graph_node.cpp:201-279):
         sequence shift then loop drift."""
         Rs, ts = self.seq_shift.get(sequence, (np.eye(3), np.zeros(3)))
+        r_drift, t_drift = self._drift
         p = Rs @ np.asarray(p_vio, float) + ts
         q = nplie.qmul(nplie.R2q(Rs), np.asarray(q_vio, float))
-        p = self.r_drift @ p + self.t_drift
-        q = nplie.qmul(nplie.R2q(self.r_drift), q)
+        p = r_drift @ p + t_drift
+        q = nplie.qmul(nplie.R2q(r_drift), q)
         return p, q
 
     # ------------------------------------------------------------- save/load

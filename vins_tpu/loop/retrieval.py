@@ -10,6 +10,13 @@ brief_k10L6.bin isn't even shipped), and the keyframe cap (~2000,
 tro_technical_report.pdf p.11) bounds memory: 2048 × 256 desc × 256 bit as
 int8 ≈ 134 MB HBM.
 
+Performance shape (this file was the round-3 bottleneck):
+  * `add` updates the store through a DONATED jit — XLA reuses the input
+    buffer, so the write is in-place in HBM, not a 134 MB copy per keyframe;
+  * `query` compiles per power-of-two chunk count and only scans the
+    occupied prefix of the store — a young database costs what it holds,
+    not full capacity (≤7 program variants over a run).
+
 Scores: fraction of query descriptors whose best match in the candidate
 keyframe is below the Hamming threshold — a set-overlap score in [0,1]
 playing the role of DBoW2's L1 score (detectLoop thresholds re-tuned
@@ -27,11 +34,14 @@ import numpy as np
 from .brief import BRIEF_BITS
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",), donate_argnums=())
-def _score_all(query: jax.Array, qvalid: jax.Array, db: jax.Array,
-               dbvalid: jax.Array, match_thresh: float, chunk: int = 32):
-    """query [P,256] ±1, db [K,P,256] int8 ±1 → scores [K]."""
-    K, P, B = db.shape
+@functools.partial(jax.jit, static_argnames=("chunk", "n_chunks"))
+def _score_prefix(query: jax.Array, qvalid: jax.Array, db: jax.Array,
+                  dbvalid: jax.Array, match_thresh: float,
+                  chunk: int = 32, n_chunks: int = 1):
+    """query [P,256] ±1, db [K,P,256] int8 ±1 → scores [n_chunks·chunk] over
+    the first n_chunks·chunk database slots (the occupied prefix, rounded up
+    to a power of two by the caller)."""
+    P, B = query.shape
     q = query.astype(jnp.float32)
     nq = jnp.maximum(jnp.sum(qvalid), 1.0)
 
@@ -48,8 +58,25 @@ def _score_all(query: jax.Array, qvalid: jax.Array, db: jax.Array,
         hits = (best < match_thresh) & qvalid[:, None]
         return carry, jnp.sum(hits, axis=0) / nq
 
-    _, scores = jax.lax.scan(body, None, jnp.arange(K // chunk))
-    return scores.reshape(K)
+    _, scores = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return scores.reshape(n_chunks * chunk)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _db_set(desc: jax.Array, valid: jax.Array, i, d, v):
+    """In-place (donated) single-slot store update."""
+    return desc.at[i].set(d.astype(jnp.int8)), valid.at[i].set(v)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _db_halve(desc: jax.Array, valid: jax.Array):
+    """Keep every other slot (eviction at capacity), compacted to the front."""
+    n = desc.shape[0] // 2
+    keep = jnp.arange(n) * 2
+    desc = desc.at[:n].set(desc[keep])
+    valid = valid.at[:n].set(valid[keep])
+    valid = valid.at[n:].set(False)
+    return desc, valid
 
 
 class KeyframeDB:
@@ -80,29 +107,35 @@ class KeyframeDB:
             keep = np.arange(0, self.cap, 2)
             n = len(keep)
             self.n_evicted += self.cap - n
-            self.desc = self.desc.at[:n].set(self.desc[keep])
-            self.valid = self.valid.at[:n].set(self.valid[keep])
-            self.valid = self.valid.at[n:].set(False)
+            self.desc, self.valid = _db_halve(self.desc, self.valid)
             self.kf_index[:n] = self.kf_index[keep]
             self.kf_index[n:] = -1
             self.count = n
         i = self.count
-        self.desc = self.desc.at[i].set(desc.astype(jnp.int8))
-        self.valid = self.valid.at[i].set(valid)
+        self.desc, self.valid = _db_set(self.desc, self.valid,
+                                        jnp.asarray(i), desc, valid)
         self.kf_index[i] = self.count if kf_index is None else int(kf_index)
         self.count += 1
         return i
 
     def query(self, desc: jax.Array, valid: jax.Array, exclude_last: int = 50,
               top_k: int = 4, newest_kf: int | None = None):
-        """detectLoop's query (pose_graph.cpp:304-386): score all stored
-        keyframes except those within `exclude_last` KEYFRAME indices of
-        `newest_kf` (default: the newest stored id); returns (external
-        keyframe indices, scores) of the top-k."""
-        scores = jax.device_get(_score_all(
+        """detectLoop's query (pose_graph.cpp:304-386): score the occupied
+        prefix of the store except keyframes within `exclude_last` KEYFRAME
+        indices of `newest_kf` (default: the newest stored id); returns
+        (external keyframe indices, scores) of the top-k."""
+        if self.count == 0:
+            return np.zeros(0, np.int64), np.zeros(0)
+        n_chunks = 1
+        while n_chunks * self.chunk < self.count:
+            n_chunks *= 2
+        n_chunks = min(n_chunks, self.cap // self.chunk)
+        prefix = n_chunks * self.chunk
+        scores = np.full(self.cap, -1.0, np.float32)
+        scores[:prefix] = jax.device_get(_score_prefix(
             desc.astype(jnp.float32), valid, self.desc, self.valid,
-            self.match_thresh, self.chunk,
-        )).copy()
+            self.match_thresh, self.chunk, n_chunks,
+        ))
         ids = self.kf_index
         if newest_kf is None:
             newest_kf = int(ids[: self.count].max()) if self.count else 0

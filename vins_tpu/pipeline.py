@@ -18,6 +18,8 @@ behaviors live here:
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import NamedTuple
 
 import jax
@@ -61,10 +63,25 @@ class Pipeline:
         self.loop_closure = cfg.loop_closure if loop_closure is None else loop_closure
         self.pose_graph = (
             PoseGraph(self.estimator.qic, self.estimator.tic,
-                      min_loop_inliers=cfg.min_loop_num)
+                      min_loop_inliers=cfg.min_loop_num,
+                      opt_interval_s=cfg.pg_opt_interval)
             if self.loop_closure else None
         )
         self.propagator = ImuPropagator(cfg.g_norm)
+
+        # asynchronous pose-graph worker (the reference's separate pose_graph
+        # PROCESS, pose_graph_node.cpp:294-428: the frame loop never waits on
+        # loop detection / 4-DoF optimization).  Sync mode (pg_async=False)
+        # keeps the reference-free deterministic ordering for tests.
+        self.pg_async = bool(cfg.pg_async) and self.pose_graph is not None
+        self.pg_events: list = []    # results from the worker, in order
+        self.pg_dropped = 0          # keyframes dropped under backpressure
+        self._relo_queue: list = []  # worker → estimator fast-reloc payloads
+        if self.pg_async:
+            self._pg_queue: queue.Queue = queue.Queue(maxsize=4)
+            self._pg_thread = threading.Thread(
+                target=self._pg_worker, name="pose_graph", daemon=True)
+            self._pg_thread.start()
 
         self.freq = cfg.freq
         self._pub_count = 0
@@ -147,27 +164,76 @@ class Pipeline:
             if self.pose_graph is not None:
                 pc, qc = self.pose_graph.correct_pose(p, q, self.sequence)
                 self.trajectory_loop.append((t, pc, qc))
+            # drain fast-relocalization feedback from the async worker (the
+            # reference's relo_buf, estimator_node.cpp:266-291)
+            while self._relo_queue:
+                self._apply_relo(self._relo_queue.pop(0))
             if ev.get("marg_old") and self.pose_graph is not None:
-                with self.tracer.span("pose_graph"):
-                    loop = self._handoff_keyframe()
-                kf_res = getattr(self, "last_kf_result", None)
-                if kf_res is not None:
-                    for key in ("scores", "candidate", "verify"):
-                        if key in kf_res:
-                            out[key] = kf_res[key]
-                    self.last_kf_result = None
-                if loop is not None:
-                    out["loop"] = loop
+                payload = self._build_keyframe_payload()
+                if payload is not None:
+                    if self.pg_async:
+                        try:
+                            self._pg_queue.put_nowait(payload)
+                        except queue.Full:
+                            # backpressure: drop rather than stall the frame
+                            # loop (the reference's buffers simply grow; a
+                            # dropped keyframe only coarsens loop recall)
+                            self.pg_dropped += 1
+                    else:
+                        with self.tracer.span("pose_graph"):
+                            res = self._pg_process(payload)
+                        self.pg_events.append(res)
+                        for key in ("scores", "candidate", "verify"):
+                            if key in res:
+                                out[key] = res[key]
+                        if res.get("loop") is not None:
+                            out["loop"] = res["loop"]
         return out
+
+    def pg_join(self):
+        """Drain the pose-graph worker queue and force the pending 4-DoF
+        solve (end of stream / before scoring)."""
+        if self.pg_async:
+            self._pg_queue.join()
+        while self._relo_queue:
+            self._apply_relo(self._relo_queue.pop(0))
+        if self.pose_graph is not None:
+            self.pose_graph.flush()
+
+    def shutdown(self):
+        """Stop the pose-graph worker cleanly.  A daemon thread killed at
+        interpreter exit mid-device-call aborts the process (pthread
+        cancellation inside the runtime) — call this before exiting any
+        process that used pg_async."""
+        if self.pg_async and self._pg_thread.is_alive():
+            self._pg_queue.put(None)
+            self._pg_thread.join(timeout=120)
+            self.pg_async = False
+
+    def _pg_worker(self):
+        while True:
+            payload = self._pg_queue.get()
+            try:
+                if payload is None:
+                    return
+                with self.tracer.span("pose_graph"):
+                    res = self._pg_process(payload)
+                self.pg_events.append(res)
+            except Exception as e:  # noqa: BLE001 — worker must not die
+                self.pg_events.append({"error": repr(e)})
+            finally:
+                self._pg_queue.task_done()
 
     # ------------------------------------------------------------- keyframe
 
-    def _handoff_keyframe(self):
-        """Build a pose-graph keyframe from frame WINDOW-2 after MARGIN_OLD
-        (pubKeyframe, visualization.cpp:348-404), gated by the pose-graph
-        node's ingestion filters (pose_graph_node.cpp:24,344-359,385):
-        skip the first SKIP_FIRST_CNT keyframes, count-downsample by
-        SKIP_CNT, and distance-downsample by SKIP_DIS."""
+    def _build_keyframe_payload(self):
+        """Synchronous half of the keyframe hand-off (pubKeyframe,
+        visualization.cpp:348-404): the pose-graph ingestion gates
+        (pose_graph_node.cpp:24,344-359,385 — skip the first SKIP_FIRST_CNT,
+        count-downsample by SKIP_CNT, distance-downsample by SKIP_DIS) and
+        the landmark payload, all host numpy over estimator state that the
+        next frame will mutate.  The device-side feature work happens in
+        `_pg_process` (on the worker thread in async mode)."""
         est = self.estimator
 
         if self._pg_skip_first < self.cfg.pg_skip_first_cnt:
@@ -181,8 +247,8 @@ class Pipeline:
         db = est.db
         kf_frame = est.F - 3  # post-slide WINDOW-2: the second-newest frame
         t = est.timestamps[kf_frame]
-        p_b = est.p[kf_frame]
-        q_b = est.q[kf_frame]
+        p_b = est.p[kf_frame].copy()
+        q_b = est.q[kf_frame].copy()
         if np.linalg.norm(p_b - self._pg_last_t) <= self.cfg.pg_skip_dis:
             return None
 
@@ -210,9 +276,39 @@ class Pipeline:
             [db.pt[ks, a], np.ones((len(ks), 1))], axis=1) * d[:, None]
         Xc = rays @ Ric.T + est.tic
         pts3d = np.einsum("kij,kj->ki", Rw[a], Xc) + est.p[a]
-        pts2d = db.pt[ks, kf_frame]
-        uv = db.uv[ks, kf_frame]
-        fids = db.ids[ks]
+
+        # pad the landmark payload to a FIXED slot count: every device
+        # program in the pose-graph stage then compiles once — a varying
+        # landmark count used to recompile brief_describe per keyframe
+        # (~2 s each on the remote-attached chip)
+        L = self.cfg.max_landmarks
+        n = min(len(ks), L)
+        pad = lambda a, fill: np.concatenate(
+            [a[:n], np.full((L - n,) + a.shape[1:], fill, a.dtype)])
+        self._pg_last_t = np.asarray(p_b, float).copy()
+        return {
+            "t": float(t), "p_b": p_b, "q_b": q_b,
+            "pts3d": pad(pts3d, 0.0),
+            # padded 2D slots parked far outside the image so nearest-
+            # landmark id transfer can never select them
+            "pts2d": pad(db.pt[ks, kf_frame], 1e9),
+            "uv": pad(db.uv[ks, kf_frame], 0.0),
+            "fids": pad(db.ids[ks], -1),
+            "n_landmarks": n,
+            "tic": est.tic.copy(), "sequence": self.sequence,
+            "img": img_kf,
+        }
+
+    def _pg_process(self, payload: dict):
+        """Device half of the keyframe hand-off + pose-graph ingestion
+        (the reference's pose_graph process() thread): FAST/BRIEF features,
+        two-view corner depth against the previous keyframe, then
+        PoseGraph.add_keyframe (detect → verify → throttled 4-DoF)."""
+        t = payload["t"]
+        p_b, q_b = payload["p_b"], payload["q_b"]
+        img_kf = payload["img"]
+        uv = payload["uv"]
+        pts3d = payload["pts3d"]
 
         with self.tracer.span("pg_features"):
             wdesc = describe_window_points(img_kf, uv)
@@ -222,9 +318,9 @@ class Pipeline:
             # keyframe (known camera poses): loop verification then matches
             # corner sets directly — tracked window points drift off corner
             # peaks and match poorly (see loop/verify.py)
-            Ric = nplie.q2R(est.qic)
+            Ric = nplie.q2R(self.estimator.qic)
             R_b = nplie.q2R(q_b)
-            p_cam = p_b + R_b @ est.tic
+            p_cam = p_b + R_b @ payload["tic"]
             R_wc = R_b @ Ric
             fast_3d = fast_3d_valid = None
             prev = self._prev_kf_fast
@@ -243,26 +339,33 @@ class Pipeline:
                 "R": np.asarray(R_wc, np.float32),
             }
 
+        wvalid = np.arange(len(pts3d)) < payload["n_landmarks"]
         kf = KeyFrame(
             index=-1, stamp=float(t), p_vio=p_b, q_vio=q_b,
-            points_3d=pts3d, points_2d_norm=pts2d,
-            window_desc=wdesc, window_valid=jnp.ones(len(pts3d), bool),
+            points_3d=pts3d, points_2d_norm=payload["pts2d"],
+            window_desc=wdesc, window_valid=jnp.asarray(wvalid),
             fast_pts_norm=fpts, fast_desc=fdesc, fast_valid=fok,
-            sequence=self.sequence, point_ids=np.asarray(fids),
+            sequence=payload["sequence"], point_ids=np.asarray(payload["fids"]),
             window_uv=uv,
             image=np.asarray(img_kf) if self.cfg.debug_image else None,
             fast_3d=fast_3d, fast_3d_valid=fast_3d_valid,
         )
         with self.tracer.span("pg_add"):
             res = self.pose_graph.add_keyframe(kf)
-        self.last_kf_result = res
-        self._pg_last_t = np.asarray(p_b, float).copy()
+        res["stamp"] = float(t)
         loop = res.get("loop")
         if loop is not None and self.cfg.fast_relocalization:
-            self._fast_relocalize()
+            match = getattr(self.pose_graph, "last_match", None)
+            if match is not None:
+                if self.pg_async:
+                    # hand to the frame loop (the reference's match_points
+                    # topic → estimator relo_buf)
+                    self._relo_queue.append(match)
+                else:
+                    self._apply_relo(match)
         if loop is not None and self.cfg.debug_image:
             self.last_loop_image = self._render_loop_match(kf)
-        return loop
+        return res
 
     def _render_loop_match(self, kf):
         """Side-by-side loop-match overlay (keyframe.cpp:416-468's
@@ -339,13 +442,11 @@ class Pipeline:
         lines.append(self.tracer.stats.report())
         return "\n".join(lines)
 
-    def _fast_relocalize(self):
-        """Route the loop match back through the estimator for a BA-refined
+    def _apply_relo(self, match: dict):
+        """Route a loop match back through the estimator for a BA-refined
         loop edge (the reference's match_points → setReloFrame →
-        relo_relative_pose → updateKeyFrameLoop round trip)."""
-        match = getattr(self.pose_graph, "last_match", None)
-        if match is None:
-            return
+        relo_relative_pose → updateKeyFrameLoop round trip).  Runs on the
+        frame loop thread — the estimator is single-threaded state."""
         relo = self.estimator.set_relo_frame(
             match["stamp"], match["ids"], match["pts_old"]
         )

@@ -51,7 +51,7 @@ def euroc_camera(dtype=jnp.float32) -> PinholeCamera:
 
 def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
                   pg_skip_first_cnt: int = 10, dtype=jnp.float64,
-                  **cfg_kw) -> Pipeline:
+                  pg_async: bool = False, **cfg_kw) -> Pipeline:
     cam = euroc_camera()
     cfg = VinsConfig(
         image_width=EUROC_W, image_height=EUROC_H,
@@ -69,6 +69,7 @@ def make_pipeline(noise_inflated: bool = True, loop_closure: bool = True,
         # this texture (tools/diag_loop.py), comfortably above 25 — the
         # round-2 reduction to 12 predated that path and is gone
         min_loop_num=cfg_kw.pop("min_loop_num", 25),
+        pg_async=pg_async,
         **cfg_kw,
     )
     return Pipeline(cfg, cam, imu_buf_len=64, dtype=dtype)
@@ -146,11 +147,14 @@ def run_proxy(
             p_gt.append(np.asarray(p))
             q_gt.append(np.asarray(q))
             events.append(ev)
-            if ev.get("loop") is not None:
-                n_loops += 1
         if progress and fi % 20 == 0:
             progress(fi, n_frames, ev)
 
+    # drain the async pose-graph worker + force the pending 4-DoF solve,
+    # then stop the worker (unclean daemon exit mid-device-call aborts)
+    pipe.pg_join()
+    pipe.shutdown()
+    n_loops = sum(1 for e in pipe.pg_events if e.get("loop") is not None)
     return ProxyRun(np.asarray(ts), np.stack(p_gt), np.stack(q_gt),
                     pipe, events, n_loops)
 
