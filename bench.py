@@ -25,9 +25,17 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# TPU dot/conv ops default to bf16-input passes.  Solver programs force f32
+# dots internally (core/precision.py), but the measured accuracy ladder on
+# the 30 s proxy (31 % of path → 3.1 m → 0.24 m as default / solver+sim
+# scoped / global-highest) shows the front-end image path is ALSO
+# precision-sensitive — run the whole device pipeline at true f32 dots.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp
 import numpy as np
+
+from vins_tpu.core.precision import highest_matmul_precision
 
 REF_CAMERA_HZ = 20.0     # real-time operating point (README.md:120)
 REF_SOLVES_PER_S = 20.0  # 50 ms/solve on i7-4790 (tro Table I)
@@ -70,8 +78,10 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     renderer = RoomRenderer(pipe.camera, 480, 752,
                             room=Room.make(jax.random.PRNGKey(7)),
                             tic=TIC, Ric=np.asarray(R_IC_FORWARD))
-    imu_at = jax.jit(lambda t: traj.imu_at(t, gravity))
-    frame_at = jax.jit(lambda t: (traj.pos_fn(t), traj.q(t)))
+    imu_at = highest_matmul_precision(
+        jax.jit(lambda t: traj.imu_at(t, gravity)))
+    frame_at = highest_matmul_precision(
+        jax.jit(lambda t: (traj.pos_fn(t), traj.q(t))))
 
     imu_hz = 200.0
     n_sub = int(imu_hz / frame_hz)

@@ -25,6 +25,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
+from vins_tpu.core.precision import highest_matmul_precision
+
 
 def timeit(fn, *args, n=20, warm=2, **kw):
     for _ in range(warm):
@@ -130,8 +132,10 @@ def profile_pipeline(n_frames):
     renderer = RoomRenderer(pipe.camera, 480, 752,
                             room=Room.make(jax.random.PRNGKey(7)),
                             tic=TIC, Ric=np.asarray(R_IC_FORWARD))
-    imu_at = jax.jit(lambda t: traj.imu_at(t, gravity))
-    frame_at = jax.jit(lambda t: (traj.pos_fn(t), traj.q(t)))
+    imu_at = highest_matmul_precision(
+        jax.jit(lambda t: traj.imu_at(t, gravity)))
+    frame_at = highest_matmul_precision(
+        jax.jit(lambda t: (traj.pos_fn(t), traj.q(t))))
 
     frame_hz, imu_hz = 20.0, 200.0
     n_sub = int(imu_hz / frame_hz)

@@ -43,6 +43,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # whole-pipeline true-f32 dots (see bench.py:29 — the front-end image
+    # path is precision-sensitive beyond the internally-scoped solvers)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     import jax.numpy as jnp
     import numpy as np

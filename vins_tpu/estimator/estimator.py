@@ -207,7 +207,12 @@ class Estimator:
                     out["kind"] = "initialized"
                     return out
                 self._slide(marg_old)
-                return {"kind": "init_pending"}
+                # attribute delayed inits (ADVICE r3): why was this attempt
+                # rejected, and how observable was the scale?
+                li = getattr(self, "last_init", None)
+                return {"kind": "init_pending",
+                        "reason": getattr(li, "reason", "waiting"),
+                        "s_rel_sigma": getattr(li, "s_rel_sigma", 0.0)}
             # window still filling: next frame starts from this one's state
             self.frame_count += 1
             c = self.frame_count

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 from ..imu.preintegration import ImuNoise, preintegrate
 from ..init.alignment import solve_gyro_bias, visual_imu_alignment
 from ..init.relative_pose import solve_relative_pose
@@ -87,7 +88,7 @@ def make_align_pipeline(noise: ImuNoise, g_norm: float):
 
         return Ps, q_out, Vs, dbg, s, sfm.ok, align.ok, align.s_rel_sigma
 
-    return pipeline
+    return highest_matmul_precision(pipeline)
 
 
 def make_align_all_pipeline(noise: ImuNoise, g_norm: float):
@@ -154,7 +155,7 @@ def make_align_all_pipeline(noise: ImuNoise, g_norm: float):
 
         return Ps, q_out, Vs, dbg, s, sfm.ok & pnp_ok, align.ok, align.s_rel_sigma
 
-    return pipeline
+    return highest_matmul_precision(pipeline)
 
 
 class Initializer:

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 from ..imu.preintegration import ImuNoise, preintegrate
 from ..solver.gn import SolverOptions, solve_window
 from ..solver.marginalize import marginalize_old, marginalize_second_new
@@ -175,4 +176,5 @@ def make_vio_step(
             fail_imu=fail_imu, fail_jump=fail_jump,
         )
 
-    return vio_step
+    # solver chain needs true f32 dots (core/precision.py)
+    return highest_matmul_precision(vio_step)

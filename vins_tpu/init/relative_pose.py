@@ -18,6 +18,7 @@ All inputs are padded to N points with a validity mask.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.linalg import smallest_eigvec, svd3x3
+from ..core.precision import highest_matmul_precision
 
 
 class RelPose(NamedTuple):
@@ -103,6 +105,9 @@ def decompose_essential(E: jax.Array):
     return Rs, ts
 
 
+@highest_matmul_precision
+@functools.partial(
+    jax.jit, static_argnames=("n_hyp", "min_corres", "min_inliers"))
 def solve_relative_pose(
     x1: jax.Array,  # [N,2] normalized-plane points in frame i
     x2: jax.Array,  # [N,2] matching points in frame j

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 
 SEQ_BACK = 4  # sequential edges to 4 previous keyframes (pose_graph.cpp:480)
 
@@ -90,6 +91,7 @@ def _residuals(g: GraphArrays, yaw, t):
     return jnp.concatenate(rs, axis=0)  # [(SEQ_BACK+1)·K, 4]
 
 
+@highest_matmul_precision
 @functools.partial(jax.jit, static_argnames=("iters",))
 def optimize_4dof(g: GraphArrays, iters: int = 5) -> GraphArrays:
     """Masked dense GN over [yaw, t] with fixed anchors."""

@@ -37,7 +37,7 @@ from ..core import lie, nplie
 from .brief import brief_describe, fast_detect, match_descriptors, smooth_for_brief
 from .optimize4dof import GraphArrays, optimize_4dof
 from .retrieval import KeyframeDB, pick_loop_candidate
-from .verify import pnp_ransac, relative_check
+from .verify import make_verify_connection
 
 
 def _ypr(q):
@@ -153,6 +153,7 @@ class PoseGraph:
         self.seq_shift = {0: (np.eye(3), np.zeros(3))}  # seq → (R, t) vio shift
         self.earliest_loop_index = -1
         self._key = jax.random.PRNGKey(11)
+        self._verify = make_verify_connection(min_loop_inliers)
         self.graph = HostGraph(capacity_round(capacity))
         # 4-DoF solve cadence (the reference's 2 s optimize thread)
         self.opt_interval_s = opt_interval_s
@@ -255,45 +256,38 @@ class PoseGraph:
             q_valid = kf.window_valid
             q_desc = kf.window_desc
             X_np = np.asarray(kf.points_3d, float)
-        midx, mok = jax.device_get(match_descriptors(
-            q_desc, q_valid, old.fast_desc, old.fast_valid
-        ))
-        if mok.sum() < self.min_loop_inliers:
-            return False, (f"desc_matches={int(mok.sum())}/"
-                           f"{int(jax.device_get(q_valid).sum())}")
 
-        X = jnp.asarray(X_np, jnp.float64)
-        old_fast_pts = jax.device_get(old.fast_pts)
-        x_old = jnp.asarray(old_fast_pts[midx], jnp.float64)
         # initial guess: current keyframe CAMERA pose from VIO
         R_b = nplie.q2R(kf.q_vio)
         p_c0 = kf.p_vio + R_b @ self.tic
-        q_c0 = jnp.asarray(nplie.qmul(kf.q_vio, self.qic))
+        q_c0 = nplie.qmul(kf.q_vio, self.qic)
 
         self._key, sub = jax.random.split(self._key)
-        res = jax.device_get(pnp_ransac(
-            X, x_old, jnp.asarray(mok), jnp.asarray(p_c0), q_c0, sub,
-            min_inliers=self.min_loop_inliers,
+        # the whole match → PnP → relative-gate chain is ONE device program
+        # + ONE fetch (verify.py::make_verify_connection)
+        v = jax.device_get(self._verify(
+            q_desc, q_valid, jnp.asarray(X_np), old.fast_desc, old.fast_valid,
+            old.fast_pts, jnp.asarray(p_c0), jnp.asarray(q_c0),
+            jnp.asarray(self.qic), jnp.asarray(self.tic),
+            jnp.asarray(kf.p_vio), jnp.asarray(kf.q_vio), sub,
         ))
-        if not bool(res.ok):
-            return False, f"pnp_inliers={int(res.n_inliers)}"
-        # old keyframe BODY pose implied by PnP (in the current world)
-        q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
-        p_old_b = np.array(res.p) - nplie.q2R(q_old_b) @ self.tic
-
-        rel_t, rel_yaw, ok = jax.device_get(relative_check(
-            jnp.asarray(p_old_b), jnp.asarray(q_old_b),
-            jnp.asarray(kf.p_vio), jnp.asarray(kf.q_vio),
-        ))
-        if not bool(ok):
-            return False, (f"relative_check dt={np.round(np.asarray(rel_t),2)}"
-                           f" dyaw={float(rel_yaw):.1f}")
+        if int(v["n_matches"]) < self.min_loop_inliers:
+            return False, (f"desc_matches={int(v['n_matches'])}/"
+                           f"{int(jax.device_get(q_valid).sum())}")
+        if not bool(v["pnp_ok"]):
+            return False, f"pnp_inliers={int(v['n_inliers'])}"
+        if not bool(v["rel_ok"]):
+            return False, (f"relative_check dt={np.round(v['rel_t'], 2)}"
+                           f" dyaw={float(v['rel_yaw']):.1f}")
+        rel_t, rel_yaw = v["rel_t"], float(v["rel_yaw"])
+        q_old_b = np.asarray(v["q_old_b"], float)
 
         # fast-relocalization feedback payload: matched (feature id, old-kf
         # normalized point) pairs — the reference's /pose_graph/match_points
         # message (keyframe.cpp:488-514)
-        inl = np.asarray(res.inliers)
-        old_pts = old_fast_pts[midx]
+        inl = np.asarray(v["inliers"])
+        midx = v["midx"]
+        old_pts = jax.device_get(old.fast_pts)[midx]
         if use_fast3d:
             # fast-reloc payload needs estimator feature ids: transfer ids
             # from the nearest window landmark (normalized coords) per

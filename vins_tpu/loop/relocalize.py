@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 from ..core.linalg import spd_solve
 
 
@@ -43,6 +44,7 @@ def _residuals(p, q, X, x):
     return Pc[:, :2] / zs[:, None] - x, z
 
 
+@highest_matmul_precision
 @functools.partial(jax.jit, static_argnames=("iters", "min_inliers"))
 def refine_relo_pose(
     X: jax.Array,  # [N,3] window landmarks in the current world

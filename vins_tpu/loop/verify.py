@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 from ..init.sfm import pnp_gn
 
 
@@ -36,6 +37,7 @@ def _reproj_err(X, x, p, q):
     return jnp.linalg.norm(Pc[:, :2] / zs[:, None] - x, axis=-1), z
 
 
+@highest_matmul_precision
 @functools.partial(jax.jit, static_argnames=("n_hyp", "min_inliers"))
 def pnp_ransac(
     X: jax.Array,  # [N,3] world points
@@ -90,6 +92,7 @@ def relative_check(p_old, q_old, p_cur, q_cur,
     return rel_t, rel_yaw, ok
 
 
+@highest_matmul_precision
 @jax.jit
 def triangulate_two_view(
     p0: jax.Array, R0: jax.Array,  # camera 0 position [3] / world←cam [3,3]
@@ -132,3 +135,35 @@ def triangulate_two_view(
           & (e0 < max_reproj) & (e1 < max_reproj)
           & (parallax > min_parallax) & (t0 > 0.0) & (t1 > 0.0))
     return X, ok
+
+
+def make_verify_connection(min_inliers: int = 25):
+    """The WHOLE findConnection device chain (keyframe.cpp:259-520) as one
+    jitted program: descriptor match → PnP-RANSAC → old-body-pose recovery →
+    relative sanity gate.  One dispatch + one fetch per candidate instead of
+    three sequential round trips (each ~30 ms through a remote-attached
+    chip)."""
+    from .brief import match_descriptors
+
+    @jax.jit
+    def verify(q_desc, q_valid, X, old_desc, old_valid, old_pts,
+               p_c0, q_c0, qic, tic, p_cur, q_cur, key):
+        midx, mok = match_descriptors(q_desc, q_valid, old_desc, old_valid)
+        x_old = jnp.take(old_pts, midx, axis=0).astype(X.dtype)
+        res = pnp_ransac(X, x_old, mok, p_c0, q_c0, key,
+                         min_inliers=min_inliers)
+        # old keyframe BODY pose implied by PnP (in the current world)
+        q_old_b = lie.qmul(res.q, lie.qconj(qic))
+        p_old_b = res.p - lie.qrotate(q_old_b, tic)
+        rel_t, rel_yaw, rel_ok = relative_check(p_old_b, q_old_b,
+                                                p_cur, q_cur)
+        n_matches = jnp.sum(mok)
+        ok = (n_matches >= min_inliers) & res.ok & rel_ok
+        return {
+            "midx": midx, "mok": mok, "n_matches": n_matches,
+            "inliers": res.inliers, "n_inliers": res.n_inliers,
+            "pnp_ok": res.ok, "p_old_b": p_old_b, "q_old_b": q_old_b,
+            "rel_t": rel_t, "rel_yaw": rel_yaw, "rel_ok": rel_ok, "ok": ok,
+        }
+
+    return highest_matmul_precision(verify)

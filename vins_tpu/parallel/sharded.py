@@ -40,6 +40,7 @@ from ..core.linalg import inv3x3
 from ..imu.preintegration import ImuNoise
 from ..solver.gn import SolverOptions
 from ..solver.problem import FeatureObs, Layout, Prior, WindowState
+from ..core.precision import highest_matmul_precision
 from ..estimator.step import StepResult, make_vio_step
 
 
@@ -109,9 +110,9 @@ def make_sharded_vio_step(
         step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, 0)
     )
     in_specs, out_specs = _batched_specs("seq", "lm")
-    return jax.jit(
+    return highest_matmul_precision(jax.jit(
         shard_map(batched, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    )
+    ))
 
 
 def make_sharded_ba(mesh: Mesh, iters: int = 10):
@@ -184,10 +185,10 @@ def make_sharded_ba(mesh: Mesh, iters: int = 10):
 
     lm_spec = P(("seq", "lm"))
     state_spec = _ba.BAState(p=P(), q=P(), pts=lm_spec)
-    return jax.jit(
+    return highest_matmul_precision(jax.jit(
         shard_map(
             solve, mesh=mesh,
             in_specs=(state_spec, lm_spec, lm_spec, P(), P(), lm_spec),
             out_specs=(state_spec, P()),
         )
-    )
+    ))

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.precision import highest_matmul_precision
 from ..io.png import write_png_gray
 from .proxy import BA, BG, EUROC_H, EUROC_W, TIC, euroc_camera
 from .render import Room, RoomRenderer
@@ -50,8 +51,10 @@ def write_euroc_dataset(
         room=Room.make(jax.random.PRNGKey(seed + 7), k=tex_k),
         tic=TIC, Ric=np.asarray(R_IC_FORWARD),
     )
-    imu_at = jax.jit(lambda t: traj.imu_at(t, gravity))
-    frame_at = jax.jit(lambda t: (traj.pos_fn(t), traj.q(t)))
+    imu_at = highest_matmul_precision(
+        jax.jit(lambda t: traj.imu_at(t, gravity)))
+    frame_at = highest_matmul_precision(
+        jax.jit(lambda t: (traj.pos_fn(t), traj.q(t))))
     noisy = jax.jit(lambda img, key: jnp.clip(
         img + pix_noise * jax.random.normal(key, img.shape, img.dtype),
         0.0, 255.0))

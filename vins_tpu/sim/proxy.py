@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.precision import highest_matmul_precision
 from ..config import VinsConfig
 from ..core import lie
 from ..core.cameras import PinholeCamera
@@ -98,8 +99,10 @@ def run_proxy(
         tic=TIC, Ric=np.asarray(R_IC_FORWARD),
     )
 
-    imu_at = jax.jit(lambda t: traj.imu_at(t, gravity))
-    frame_at = jax.jit(lambda t: (traj.pos_fn(t), traj.q(t)))
+    imu_at = highest_matmul_precision(
+        jax.jit(lambda t: traj.imu_at(t, gravity)))
+    frame_at = highest_matmul_precision(
+        jax.jit(lambda t: (traj.pos_fn(t), traj.q(t))))
 
     @jax.jit
     def noisy(img, key):

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 
 
 def spectral_texture_params(key, k: int = 96, f_lo: float = 2.0,
@@ -94,6 +95,7 @@ def _pixel_rays(camera, H: int, W: int) -> jax.Array:
     return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
 
+@highest_matmul_precision
 @functools.partial(jax.jit, static_argnames=("H", "W"))
 def _render_body(rays, p_b, q_b, tic, Ric, room: Room, H: int, W: int):
     """Fused body-pose → image render (one dispatch per frame)."""
@@ -103,6 +105,7 @@ def _render_body(rays, p_b, q_b, tic, Ric, room: Room, H: int, W: int):
     return _render(rays, p_c, R_wc, room, H, W)
 
 
+@highest_matmul_precision
 @functools.partial(jax.jit, static_argnames=("H", "W"))
 def _render(rays, p_c, R_wc, room: Room, H: int, W: int):
     """Ray-cast the box interior: rays [HW,3] camera-frame, camera at p_c

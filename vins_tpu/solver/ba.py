@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.precision import highest_matmul_precision
 from ..core.linalg import inv3x3
 
 
@@ -102,6 +103,7 @@ def _damped_solve(H_xx, b_x, H_xl, H_ll, b_l, mu, pose_col_mask, pt_mask):
     return dx, d_pt
 
 
+@highest_matmul_precision
 def ba_solve(
     state: BAState,
     obs: jax.Array,  # [L,F,2] normalized-plane observations
