@@ -52,14 +52,18 @@ def bench_fused_step():
                                   dtype=dtype)
     step = make_vio_step(layout, ImuNoise(), SolverOptions(iters=8))
     out = step(*args)
-    jax.block_until_ready(out)
+    float(out.state.p.sum())  # compile + execute (fetch: see note below)
     iters = 200
     t0 = time.perf_counter()
     state = args[0]
     for _ in range(iters):
         out = step(state, *args[1:])
         state = out.state
-    jax.block_until_ready(out)
+    # honest completion barrier: a scalar FETCH, not block_until_ready — on
+    # the remote-attached (axon) platform block_until_ready returns at
+    # dispatch, before remote execution completes.  The state chain forces
+    # serial execution, so one final fetch times all `iters` steps.
+    float(out.state.p.sum())
     return iters / (time.perf_counter() - t0)
 
 

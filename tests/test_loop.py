@@ -138,6 +138,40 @@ def test_optimize_4dof_closes_loop():
     assert -6.5 < float(ydrift) < -3.5, float(ydrift)
 
 
+def test_optimize_4dof_analytic_matches_jacfwd():
+    """The analytic per-edge-Jacobian assembly (the scalable path) must
+    reproduce the full-parameter jacfwd reference bit-for-nearly-bit —
+    including pitch/roll coupling, the Huber loop weight and fixed masks."""
+    rng = np.random.default_rng(3)
+    K, Kcap = 200, 256
+    t_vio = np.cumsum(rng.normal(0, 0.3, (K, 3)), axis=0)
+    ypr = rng.normal(0, 15, (K, 3))  # nonzero pitch/roll exercise A_i
+    g = GraphArrays(
+        t_vio=jnp.zeros((Kcap, 3)).at[:K].set(t_vio),
+        ypr_vio=jnp.zeros((Kcap, 3)).at[:K].set(ypr),
+        yaw=jnp.zeros((Kcap,)).at[:K].set(ypr[:, 0] + rng.normal(0, 2, K)),
+        t=jnp.zeros((Kcap, 3)).at[:K].set(t_vio + rng.normal(0, 0.1, (K, 3))),
+        loop_to=jnp.full((Kcap,), -1, jnp.int32),
+        loop_t=jnp.zeros((Kcap, 3)),
+        loop_yaw=jnp.zeros((Kcap,)),
+        used=jnp.zeros((Kcap,), bool).at[:K].set(True),
+        fixed=jnp.zeros((Kcap,), bool).at[0].set(True),
+    )
+    # a handful of loop edges, some with large residuals (Huber active)
+    for j, to in [(150, 3), (180, 10), (199, 0), (120, 60)]:
+        g = g._replace(
+            loop_to=g.loop_to.at[j].set(to),
+            loop_t=g.loop_t.at[j].set(jnp.asarray(rng.normal(0, 1.0, 3))),
+            loop_yaw=g.loop_yaw.at[j].set(rng.normal(0, 5)),
+        )
+    ga = optimize_4dof(g, iters=5, method="analytic")
+    gj = optimize_4dof(g, iters=5, method="jacfwd")
+    np.testing.assert_allclose(np.array(ga.yaw), np.array(gj.yaw),
+                               atol=1e-7, rtol=1e-7)
+    np.testing.assert_allclose(np.array(ga.t), np.array(gj.t),
+                               atol=1e-7, rtol=1e-7)
+
+
 def _fabricated_keyframe(index, place_key, p_body, q_body, points_w, qic, tic,
                          sequence=1, n_pts=64):
     """KeyFrame whose descriptors are deterministic per landmark id, so a
@@ -251,6 +285,78 @@ def test_pose_graph_save_load(tmp_path):
                               sequence=1)
     out = pg2.add_keyframe(kf)
     assert out["loop"] is not None
+
+
+def test_two_session_map_reuse_base_immutable(tmp_path):
+    """Reference map-reuse semantics (pose_graph.cpp:473-476, 791-870): a
+    loaded base map is pinned in every subsequent 4-DoF solve — session B
+    relocalizes + merges against it, and the base poses are BITWISE
+    unchanged afterwards; stored loop edges are restored on load."""
+    qic = np.array([1.0, 0, 0, 0])
+    tic = np.zeros(3)
+    key = jax.random.PRNGKey(21)
+    pts = np.array(jax.random.uniform(key, (64, 3), jnp.float64, -3.0, 3.0)) + np.array([0, 0, 8.0])
+
+    # --- session A: places 0..7, then a revisit of place 0 → loop + solve
+    pg = PoseGraph(qic, tic, capacity=64, db=KeyframeDB(64, 64), exclude_last=3)
+    for i in range(8):
+        kf = _fabricated_keyframe(i, jax.random.fold_in(key, i),
+                                  np.array([0.0, 0.25 * i, 0.0]),
+                                  np.array([1.0, 0, 0, 0]),
+                                  pts + np.array([0.0, 0.0, 5.0 * i]),
+                                  qic, tic)
+        pg.add_keyframe(kf)
+    kf = _fabricated_keyframe(8, jax.random.fold_in(key, 0),
+                              np.array([0.03, 0.02, 0.0]),
+                              np.array([1.0, 0, 0, 0]), pts, qic, tic)
+    out = pg.add_keyframe(kf)
+    assert out["loop"] == 0
+    pg.flush()
+    path = str(tmp_path / "map.npz")
+    pg.save(path)
+
+    # --- session B: load (base = sequence 0, edges restored) …
+    pg2 = PoseGraph(qic, tic, capacity=64, db=KeyframeDB(64, 64), exclude_last=3)
+    pg2.load(path)
+    assert pg2.keyframes[8].loop_index == 0  # stored edge restored
+    assert pg2.earliest_loop_index == 0
+    assert np.all(pg2.graph.sequence[:9] == 0)
+    # graph tensors agree with the authoritative stored poses
+    np.testing.assert_array_equal(pg2.graph.t[:9],
+                                  np.stack([k.p for k in pg2.keyframes]))
+    base_p = np.stack([k.p for k in pg2.keyframes]).copy()
+    base_q = np.stack([k.q for k in pg2.keyframes]).copy()
+
+    # … then a drifted new session revisits places 0..2 → loops → merge +
+    # 4-DoF solve over a slice containing the whole base map
+    drift_t = np.array([0.4, -0.2, 0.1])
+    for j in range(4):
+        place = min(j, 2)
+        p_true = np.array([0.0, 0.25 * place, 0.0])
+        kf = _fabricated_keyframe(9 + j, jax.random.fold_in(key, place),
+                                  p_true + drift_t,
+                                  np.array([1.0, 0, 0, 0]),
+                                  (pts + np.array([0.0, 0.0, 5.0 * place])) + drift_t,
+                                  qic, tic, sequence=1)
+        out = pg2.add_keyframe(kf)
+    pg2.flush()
+    assert pg2.n_optimizes >= 1
+    assert any(k.loop_index >= 0 for k in pg2.keyframes[9:])
+
+    # base map poses: bitwise unchanged
+    np.testing.assert_array_equal(
+        np.stack([k.p for k in pg2.keyframes[:9]]), base_p)
+    np.testing.assert_array_equal(
+        np.stack([k.q for k in pg2.keyframes[:9]]), base_q)
+    np.testing.assert_array_equal(pg2.graph.t[:9], base_p)
+
+    # session B was merged onto the base map: the relocalized keyframe
+    # lands near its true place, not at its drifted VIO position
+    k_new = next(k for k in pg2.keyframes[9:] if k.loop_index >= 0)
+    place = min(k_new.index - 9, 2)
+    p_true = np.array([0.0, 0.25 * place, 0.0])
+    assert np.linalg.norm(k_new.p - p_true) < 0.25 * np.linalg.norm(drift_t), (
+        k_new.p, p_true)
 
 
 def test_keyframe_db_eviction_preserves_indices_and_recall():

@@ -20,7 +20,10 @@ def test_async_worker_processes_keyframes():
     errs = [e for e in pipe.pg_events if "error" in e]
     assert not errs, errs
     assert len(done) >= 3  # keyframes flowed through the worker
-    assert len(done) + pipe.pg_dropped == len(pipe.pose_graph.keyframes) + pipe.pg_dropped
+    # dropped payloads never reach add_keyframe: every stored keyframe has a
+    # worker result, and drops stay bounded on this short run
+    assert len(done) == len(pipe.pose_graph.keyframes)
+    assert pipe.pg_dropped <= len(done)
     # worker results carry the retrieval diagnostics the sync path has
     assert all("candidate" in e for e in done)
     # stamps are ordered (single worker, FIFO queue)

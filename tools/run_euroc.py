@@ -20,6 +20,20 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+import jax
+
+# TPU dot/conv ops default to bf16-input passes.  The measured precision
+# ladder (RESULTS.md) shows the front-end image path (pyramid/gradient
+# convolutions feeding KLT) is precision-sensitive in a texture-correlated
+# way: solver-scoped f32 alone still diverges (3-23 m ATE on the 30 s
+# proxy) while global true-f32 dots give 0.24 m.  Real-data runs must
+# therefore force it globally, exactly like run_proxy.py and bench.py.
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def load_image(path):
     """Minimal grayscale PNG/PGM loader (no cv2 in this environment)."""
@@ -132,6 +146,12 @@ def main():
     from vins_tpu.core.cameras import camera_from_yaml
 
     cfg = load_config(args.config)
+    # real-data runs keep the loop stage off the frame critical path (the
+    # reference's separate pose_graph process); sync mode remains available
+    # for deterministic tests via the Pipeline constructor
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, pg_async=True)
     cam = camera_from_yaml(cfg.camera, dtype=jnp.float32)
     pipe = replay(args.root, cfg, cam, loop=not args.no_loop,
                   max_frames=args.max_frames)

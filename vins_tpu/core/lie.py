@@ -243,7 +243,8 @@ def g2R(g: jax.Array) -> jax.Array:
 
 
 def normalize_angle(deg: jax.Array) -> jax.Array:
-    """Wrap angle in degrees to (-180, 180] (utility.h:134-143)."""
+    """Wrap angle in degrees to [-180, 180) (utility.h:134-143; the
+    floor-based formula maps +180 to -180)."""
     return deg - 360.0 * jnp.floor((deg + 180.0) / 360.0)
 
 

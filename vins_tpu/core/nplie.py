@@ -90,7 +90,8 @@ def R2q(R):
 
 
 def normalize_angle(deg):
-    """Wrap degrees to (-180, 180] (utility.h:134-143)."""
+    """Wrap degrees to [-180, 180) (utility.h:134-143; the floor-based
+    formula maps +180 to -180)."""
     deg = np.asarray(deg, float)
     return deg - 360.0 * np.floor((deg + 180.0) / 360.0)
 

@@ -168,7 +168,7 @@ class Initializer:
     # over 22 s), so the calibrated gate only rejects scale that is
     # UNOBSERVABLE at the ≥100 % level — everything milder is accepted like
     # the reference and guarded by the post-init scale-consistency check
-    # (estimator.py::_scale_health_check) instead.
+    # (estimator.py::_init_health_check) instead.
     SCALE_REL_SIGMA_MAX = 1.0
 
     def __init__(self, noise: ImuNoise, g_norm: float, focal: float = 460.0,

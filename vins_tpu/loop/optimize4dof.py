@@ -91,20 +91,129 @@ def _residuals(g: GraphArrays, yaw, t):
     return jnp.concatenate(rs, axis=0)  # [(SEQ_BACK+1)·K, 4]
 
 
+def _edge_lists(g: GraphArrays):
+    """Enumerate all graph edges as flat arrays [E = (SEQ_BACK+1)·K]:
+    (i, j, t_meas, yaw_meas, w, is_loop).  Sequential-edge measurements come
+    from VIO (pose_graph.cpp:480-495); loop edges carry the verified
+    relative pose (:497-514)."""
+    K = g.yaw.shape[0]
+    dt = g.t.dtype
+    pitch = g.ypr_vio[:, 1]
+    roll = g.ypr_vio[:, 2]
+    i_all, j_all, tm_all, ym_all, w_all, loop_all = [], [], [], [], [], []
+    for k in range(1, SEQ_BACK + 1):
+        i = jnp.maximum(jnp.arange(K) - k, 0)
+        j = jnp.arange(K)
+        Ri_vio = jax.vmap(_rot_yaw_pr)(g.ypr_vio[i, 0], pitch[i], roll[i])
+        tm = jnp.einsum("kab,ka->kb", Ri_vio, (g.t_vio[j] - g.t_vio[i]))
+        ym = g.ypr_vio[j, 0] - g.ypr_vio[i, 0]
+        w = (g.used[j] & g.used[i] & (j - k >= 0)).astype(dt)
+        i_all.append(i); j_all.append(j); tm_all.append(tm)
+        ym_all.append(ym); w_all.append(w)
+        loop_all.append(jnp.zeros(K, bool))
+    has_loop = g.loop_to >= 0
+    i_all.append(jnp.maximum(g.loop_to, 0))
+    j_all.append(jnp.arange(K))
+    tm_all.append(g.loop_t)
+    ym_all.append(g.loop_yaw)
+    w_all.append((has_loop & g.used).astype(dt))
+    loop_all.append(jnp.ones(K, bool))
+    return (jnp.concatenate(i_all), jnp.concatenate(j_all),
+            jnp.concatenate(tm_all), jnp.concatenate(ym_all),
+            jnp.concatenate(w_all), jnp.concatenate(loop_all))
+
+
+def _assemble(g: GraphArrays, yaw, t):
+    """Analytic sparse GN assembly: per-edge closed-form 4×8 Jacobian blocks
+    (each edge touches exactly poses i and j) scatter-added into the dense
+    normal equations — replaces materializing the [4E × 4K] `jacfwd`
+    Jacobian, which at the reference's 2000-keyframe DB cap (tro p.11) would
+    be ~1.3 GB per iteration.  Returns (H [4K,4K], b [4K], cost)."""
+    K = yaw.shape[0]
+    dt = t.dtype
+    deg = jnp.pi / 180.0
+    pitch = g.ypr_vio[:, 1]
+    roll = g.ypr_vio[:, 2]
+    ei, ej, t_meas, yaw_meas, w, is_loop = _edge_lists(g)
+
+    def edge(i, j, tm, ym, w):
+        # R_i = Rz(yaw_i)·A_i with A_i = Ry(pitch_i)·Rx(roll_i) fixed from
+        # VIO; r_t = A_iᵀ·Rzᵀ·(t_j − t_i) − tm, r_y = Δyaw/10
+        A = _rot_yaw_pr(jnp.zeros((), dt), pitch[i], roll[i])  # Rz(0)·Ry·Rx
+        psi = yaw[i] * deg
+        c, s = jnp.cos(psi), jnp.sin(psi)
+        RzT = jnp.stack([
+            jnp.stack([c, s, jnp.zeros((), dt)]),
+            jnp.stack([-s, c, jnp.zeros((), dt)]),
+            jnp.stack([jnp.zeros((), dt), jnp.zeros((), dt), jnp.ones((), dt)]),
+        ])
+        dRzT = deg * jnp.stack([
+            jnp.stack([-s, c, jnp.zeros((), dt)]),
+            jnp.stack([-c, -s, jnp.zeros((), dt)]),
+            jnp.zeros((3,), dt),
+        ])
+        RiT = A.T @ RzT
+        dtv = t[j] - t[i]
+        r_t = RiT @ dtv - tm
+        r_y = lie.normalize_angle(yaw[j] - yaw[i] - ym) / 10.0
+        r = jnp.concatenate([r_t, r_y[None]]) * w
+        # J columns: [yaw_i, yaw_j, t_i(3), t_j(3)]
+        dr_t_dyi = A.T @ (dRzT @ dtv)
+        J = jnp.zeros((4, 8), dt)
+        J = J.at[:3, 0].set(dr_t_dyi)
+        J = J.at[3, 0].set(-1.0 / 10.0)
+        J = J.at[3, 1].set(1.0 / 10.0)
+        J = J.at[:3, 2:5].set(-RiT)
+        J = J.at[:3, 5:8].set(RiT)
+        return r, J * w
+
+    r, J = jax.vmap(edge)(ei, ej, t_meas, yaw_meas, w)  # [E,4], [E,4,8]
+
+    # Huber sqrt-weight on loop edges (HuberLoss(0.1), pose_graph.cpp:431),
+    # frozen per linearization (IRLS) — scales both residual and Jacobian
+    delta = 0.1
+    s2 = jnp.sum(r * r, axis=-1)
+    hub = jnp.where(is_loop & (s2 > delta * delta),
+                    delta / jnp.sqrt(jnp.maximum(s2, 1e-12)), 1.0)
+    sw = jnp.sqrt(hub).astype(dt)
+    r = r * sw[:, None]
+    J = J * sw[:, None, None]
+
+    cols = jnp.stack([
+        ei, ej,
+        K + 3 * ei, K + 3 * ei + 1, K + 3 * ei + 2,
+        K + 3 * ej, K + 3 * ej + 1, K + 3 * ej + 2,
+    ], axis=-1)  # [E,8]
+    JtJ = jnp.einsum("era,erb->eab", J, J)  # [E,8,8]
+    Jtr = jnp.einsum("era,er->ea", J, r)  # [E,8]
+    H = jnp.zeros((4 * K, 4 * K), dt).at[
+        cols[:, :, None], cols[:, None, :]].add(JtJ)
+    b = jnp.zeros((4 * K,), dt).at[cols].add(-Jtr)
+    return H, b, jnp.sum(r * r)
+
+
 @highest_matmul_precision
-@functools.partial(jax.jit, static_argnames=("iters",))
-def optimize_4dof(g: GraphArrays, iters: int = 5) -> GraphArrays:
-    """Masked dense GN over [yaw, t] with fixed anchors."""
+@functools.partial(jax.jit, static_argnames=("iters", "method"))
+def optimize_4dof(g: GraphArrays, iters: int = 5,
+                  method: str = "analytic") -> GraphArrays:
+    """Masked dense GN over [yaw, t] with fixed anchors.
+
+    method="analytic" (default): closed-form per-edge Jacobians scattered
+    into the normal equations — O(E) assembly, scales to the 2048-keyframe
+    DB cap.  method="jacfwd": forward-mode over the full parameter vector,
+    kept as the autodiff reference the analytic path is tested against."""
     K = g.yaw.shape[0]
     dt = g.t.dtype
     free = (g.used & ~g.fixed).astype(dt)
     col_mask = jnp.concatenate([free, jnp.repeat(free, 3)])  # [4K]
 
-    def unpack(x):
-        return g.yaw + x[:K] * free, g.t + x[K:].reshape(K, 3) * free[:, None]
-
-    def step(carry, _):
-        yaw, t = carry
+    def normal_eqs(yaw, t):
+        if method == "analytic":
+            H, b, cost = _assemble(g, yaw, t)
+            # fixed/unused parameter columns: zero rows/cols, unit diagonal
+            H = H * (col_mask[:, None] * col_mask[None, :])
+            b = b * col_mask
+            return H, b, cost
 
         def res_of(x):
             dyaw = x[:K] * free
@@ -114,14 +223,18 @@ def optimize_4dof(g: GraphArrays, iters: int = 5) -> GraphArrays:
         x0 = jnp.zeros((4 * K,), dt)
         r = res_of(x0)
         J = jax.jacfwd(res_of)(x0)
-        H = J.T @ J + jnp.diag(1.0 - col_mask) + 1e-8 * jnp.eye(4 * K, dtype=dt)
-        b = -(J.T @ r)
+        return J.T @ J, -(J.T @ r), jnp.sum(r * r)
+
+    def step(carry, _):
+        yaw, t = carry
+        H, b, cost = normal_eqs(yaw, t)
+        H = H + jnp.diag(1.0 - col_mask) + 1e-8 * jnp.eye(4 * K, dtype=dt)
         d = jnp.sqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
         c, low = jax.scipy.linalg.cho_factor(H / d[:, None] / d[None, :])
         dx = jax.scipy.linalg.cho_solve((c, low), b / d) / d
         yaw = yaw + dx[:K] * free
         t = t + dx[K:].reshape(K, 3) * free[:, None]
-        return (yaw, t), jnp.sum(r * r)
+        return (yaw, t), cost
 
     (yaw, t), costs = jax.lax.scan(step, (g.yaw, g.t), None, length=iters)
     return g._replace(yaw=yaw, t=t)

@@ -27,6 +27,7 @@ Performance shape (the round-3 bottleneck was this file + retrieval.py):
 from __future__ import annotations
 
 import os
+import threading
 from typing import NamedTuple
 
 import jax
@@ -120,6 +121,9 @@ class HostGraph:
         self.loop_t = np.zeros((capacity, 3))
         self.loop_yaw = np.zeros(capacity)
         self.used = np.zeros(capacity, bool)
+        # map sequence per keyframe: sequence 0 = loaded base map, held
+        # constant in every 4-DoF solve (pose_graph.cpp:473-476)
+        self.sequence = np.ones(capacity, np.int32)
 
     def grow(self):
         K = self.K
@@ -134,6 +138,8 @@ class HostGraph:
         self.loop_t = pad(self.loop_t)
         self.loop_yaw = pad(self.loop_yaw)
         self.used = pad(self.used)
+        self.sequence = np.concatenate([self.sequence,
+                                        np.ones(K, np.int32)])
 
 
 class PoseGraph:
@@ -160,6 +166,13 @@ class PoseGraph:
         self._opt_pending = False
         self._last_opt_stamp = -np.inf
         self.n_optimizes = 0
+        # With pg_async, add_keyframe/_run_optimize run on the worker thread
+        # while update_keyframe_loop (fast-reloc feedback) runs on the frame
+        # loop — all HostGraph/_opt_pending mutation is serialized here (the
+        # reference's m_keyframelist/m_optimize_buf/m_drift mutexes,
+        # pose_graph.h:66-69).  correct_pose stays lock-free: it only reads
+        # the atomically-swapped drift tuple.
+        self._lock = threading.RLock()
 
     # drift kept API-compatible with round-3 callers
     @property
@@ -173,6 +186,10 @@ class PoseGraph:
     # ------------------------------------------------------------------ add
 
     def add_keyframe(self, kf: KeyFrame, detect_loop: bool = True) -> dict:
+        with self._lock:
+            return self._add_keyframe_locked(kf, detect_loop)
+
+    def _add_keyframe_locked(self, kf: KeyFrame, detect_loop: bool) -> dict:
         # sequence shift (pose_graph.cpp:53-60)
         if kf.sequence not in self.seq_shift:
             self.seq_shift[kf.sequence] = (np.eye(3), np.zeros(3))
@@ -194,6 +211,7 @@ class PoseGraph:
         g.yaw[i] = _ypr(kf.q)[0]
         g.t[i] = kf.p
         g.used[i] = True
+        g.sequence[i] = kf.sequence
 
         out = {"index": i, "loop": None}
         cand = None
@@ -222,12 +240,16 @@ class PoseGraph:
 
     def flush(self):
         """Force the pending 4-DoF solve (end of stream / tests)."""
-        if self._opt_pending and self.keyframes:
-            self._run_optimize(self.keyframes[-1].stamp)
+        with self._lock:
+            if self._opt_pending and self.keyframes:
+                self._run_optimize(self.keyframes[-1].stamp)
 
     def _run_optimize(self, stamp: float):
-        cur = max((k.index for k in self.keyframes if k.loop_index >= 0),
-                  default=-1)
+        # the drift anchor must be a CURRENT-session keyframe — loaded
+        # base-map (sequence-0) keyframes carry stored loop edges but are
+        # pinned, and drift maps live VIO onto the optimized graph
+        cur = max((k.index for k in self.keyframes
+                   if k.loop_index >= 0 and k.sequence != 0), default=-1)
         if cur < 0:
             self._opt_pending = False
             return
@@ -374,8 +396,12 @@ class PoseGraph:
         loop_to = pad(g.loop_to, -1)
         # shift loop targets into the slice (all loops point ≥ base)
         loop_to = np.where(loop_to >= 0, loop_to - base, -1).astype(np.int32)
+        # gauge: earliest looped keyframe, plus EVERY base-map (sequence-0)
+        # keyframe — a loaded map is immutable under later optimization
+        # (pose_graph.cpp:473-476)
         fixed = np.zeros(size, bool)
-        fixed[0] = True  # gauge: earliest looped keyframe (pose_graph.cpp:473)
+        fixed[0] = True
+        fixed[:n] |= g.sequence[base: cur + 1] == 0
         dev = GraphArrays(
             t_vio=jnp.asarray(pad(g.t_vio)),
             ypr_vio=jnp.asarray(pad(g.ypr_vio)),
@@ -406,8 +432,9 @@ class PoseGraph:
         for off, k in enumerate(self.keyframes[base: cur + 1]):
             k.p = t[off]
             k.q = qs[off]
-        # … and drift-corrected poses after cur (:562-571)
-        tail = self.keyframes[cur + 1:]
+        # … and drift-corrected poses after cur (:562-571); base-map
+        # (sequence-0) keyframes are never dragged by drift
+        tail = [k for k in self.keyframes[cur + 1:] if k.sequence != 0]
         if tail:
             p_vio = np.stack([k.p_vio for k in tail])
             q_vio = np.stack([k.q_vio for k in tail])
@@ -424,6 +451,11 @@ class PoseGraph:
         relocalization solve (updateKeyFrameLoop, pose_graph.cpp:889-923):
         overwrite the keyframe's loop_info and update the drift correction
         immediately (no wait for the next 4-DoF optimization pass)."""
+        with self._lock:
+            return self._update_keyframe_loop_locked(index, rel_t, rel_q,
+                                                     rel_yaw)
+
+    def _update_keyframe_loop_locked(self, index, rel_t, rel_q, rel_yaw):
         kf = self.keyframes[index]
         if kf.loop_index < 0:
             return False
@@ -465,6 +497,10 @@ class PoseGraph:
 
     def save(self, path: str):
         """Map persistence (savePoseGraph, pose_graph.cpp:697-788)."""
+        with self._lock:
+            self._save_locked(path)
+
+    def _save_locked(self, path: str):
         ks = self.keyframes
         np.savez_compressed(
             path,
@@ -484,27 +520,46 @@ class PoseGraph:
 
     def load(self, path: str):
         """Load a previous map as the fixed base sequence 0 (loadPoseGraph,
-        pose_graph.cpp:791-870): new sessions relocalize against it."""
-        d = np.load(path)
-        n = len(d["stamp"])
-        for i in range(n):
-            kf = KeyFrame(
-                index=i, stamp=float(d["stamp"][i]),
-                p_vio=d["p_vio"][i], q_vio=d["q_vio"][i],
-                points_3d=np.zeros((0, 3)), points_2d_norm=np.zeros((0, 2)),
-                window_desc=jnp.zeros((0, 256)), window_valid=jnp.zeros((0,), bool),
-                fast_pts_norm=jnp.asarray(d["fast_pts"][i]),
-                fast_desc=jnp.asarray(d["fast_desc"][i], jnp.float32),
-                fast_valid=jnp.asarray(d["fast_valid"][i]),
-                sequence=0,
-            )
-            kf.p = d["p"][i]
-            kf.q = d["q"][i]
-            kf.loop_index = int(d["loop_index"][i])
-            self.add_keyframe(kf, detect_loop=False)
-            # loaded poses are authoritative (base map held fixed)
-            self.keyframes[-1].p = d["p"][i]
-            self.keyframes[-1].q = d["q"][i]
+        pose_graph.cpp:791-870): new sessions relocalize against it.  The
+        stored optimized poses are authoritative — they are written into the
+        graph tensors, the stored loop edges are re-registered (updating
+        earliest_loop_index, :825-827), and every loaded keyframe is pinned
+        in subsequent 4-DoF solves via sequence 0 (:473-476)."""
+        with self._lock:
+            assert not self.keyframes, "load() requires an empty pose graph"
+            d = np.load(path)
+            n = len(d["stamp"])
+            g = self.graph
+            for i in range(n):
+                kf = KeyFrame(
+                    index=i, stamp=float(d["stamp"][i]),
+                    p_vio=d["p_vio"][i], q_vio=d["q_vio"][i],
+                    points_3d=np.zeros((0, 3)), points_2d_norm=np.zeros((0, 2)),
+                    window_desc=jnp.zeros((0, 256)), window_valid=jnp.zeros((0,), bool),
+                    fast_pts_norm=jnp.asarray(d["fast_pts"][i]),
+                    fast_desc=jnp.asarray(d["fast_desc"][i], jnp.float32),
+                    fast_valid=jnp.asarray(d["fast_valid"][i]),
+                    sequence=0,
+                )
+                self._add_keyframe_locked(kf, detect_loop=False)
+                lkf = self.keyframes[-1]
+                # authoritative stored poses override the vio-derived fill
+                lkf.p = d["p"][i]
+                lkf.q = d["q"][i]
+                g.t[lkf.index] = lkf.p
+                g.yaw[lkf.index] = _ypr(lkf.q)[0]
+                # restore the stored loop edge into both the keyframe and
+                # the graph tensors the 4-DoF solve reads
+                li = int(d["loop_index"][i])
+                if li >= 0:
+                    lkf.loop_index = li
+                    lkf.loop_rel_t = d["loop_rel_t"][i].copy()
+                    lkf.loop_rel_yaw = float(d["loop_rel_yaw"][i])
+                    g.loop_to[lkf.index] = li
+                    g.loop_t[lkf.index] = lkf.loop_rel_t
+                    g.loop_yaw[lkf.index] = lkf.loop_rel_yaw
+                    if self.earliest_loop_index < 0 or li < self.earliest_loop_index:
+                        self.earliest_loop_index = li
 
 
 def capacity_round(n: int) -> int:
