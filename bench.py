@@ -69,14 +69,16 @@ def bench_fused_step():
 
 def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     """Steady-state pipeline throughput: all sensor data pre-generated
-    (device-resident images), timing covers tracker + estimator + loop."""
+    (device-resident images), timing covers tracker + estimator + loop.
+    Runs the production single-stream configuration: overlapped front-end/
+    estimator (one published frame apart) + async pose-graph worker."""
     from vins_tpu.sim.proxy import TIC, make_pipeline
     from vins_tpu.sim.render import Room, RoomRenderer
     from vins_tpu.sim.synthetic import Trajectory
     from vins_tpu.sim.window import R_IC_FORWARD
 
     pipe = make_pipeline(loop_closure=True, pg_skip_first_cnt=5,
-                         dtype=jnp.float32, pg_async=True)
+                         dtype=jnp.float32, pg_async=True, overlap=True)
     traj = Trajectory.circuit(radius=4.0, period=12.0, height=1.0)
     gravity = jnp.asarray([0.0, 0.0, 9.81], jnp.float64)
     renderer = RoomRenderer(pipe.camera, 480, 752,
@@ -125,26 +127,66 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     dt = time.perf_counter() - t0
     fps = (n_frames - warm) / dt
     stats = pipe.tracer.stats.snapshot()
+    dropped = pipe.pg_dropped
+    n_kf = (len(pipe.pose_graph.keyframes)
+            if pipe.pose_graph is not None else 0)
     # clean worker shutdown: a daemon thread killed mid-device-call at
     # interpreter exit aborts the process
+    pipe.pg_join()
     pipe.shutdown()
-    return fps, stats
+    return fps, stats, dropped, n_kf
+
+
+def bench_multistream(S: int = 8, duration: float = 16.0):
+    """Aggregate throughput: S independent proxy streams through the
+    batched pipeline (parallel/multistream.py) — one vmapped front-end
+    dispatch + one vmapped VIO dispatch per frame tick for all streams."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from run_multistream import drive, generate_streams
+
+    from vins_tpu.sim.proxy import ate_rmse_tum
+
+    mp, frames, gt = generate_streams(S, duration)
+    n = len(frames)
+    warm = min(60, n // 3)
+    drive(mp, frames, start=0, end=warm)
+    dt = drive(mp, frames, start=warm, end=n)
+    agg = S * (n - warm) / dt
+    mp.finish()
+    ates = []
+    for s in range(S):
+        ts, ps, qs = gt[s]
+        ates.append(ate_rmse_tum(mp.pipes[s].trajectory, np.asarray(ts),
+                                 np.stack(ps)))
+    return agg, ates
 
 
 def main():
     steps_per_s = bench_fused_step()
-    fps, stats = bench_pipeline()
+    fps, stats, pg_dropped, n_kf = bench_pipeline()
+    agg_fps, stream_ates = bench_multistream()
     out = {
         "metric": "pipeline_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_CAMERA_HZ, 2),
+        "aggregate_fps_8stream": round(agg_fps, 2),
+        "aggregate_vs_baseline": round(agg_fps / REF_CAMERA_HZ, 2),
+        "stream_ate_m": [round(a, 3) for a in stream_ates],
         "fused_step_steps_per_s": round(steps_per_s, 2),
         "fused_step_vs_baseline": round(steps_per_s / REF_SOLVES_PER_S, 2),
+        # async-worker honesty: drops under backpressure + steady-state
+        # worker latency (post-warm-up mean, compile-skew excluded)
+        "pg_dropped": pg_dropped,
+        "pg_keyframes": n_kf,
     }
-    for stage in ("frontend", "estimator", "pose_graph"):
+    for stage in ("frontend", "front_fetch", "estimator", "pose_graph"):
         if stage in stats:
             out[f"{stage}_ms"] = stats[stage]["mean_ms"]
+    if pg_dropped > 0.1 * max(n_kf + pg_dropped, 1):
+        out["pg_drop_warning"] = "dropped >10% of keyframes"
     print(json.dumps(out))
 
 

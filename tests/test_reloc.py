@@ -111,17 +111,31 @@ def test_set_relo_frame_integration():
             break
     assert len(ids) >= 25
 
-    relo = est.set_relo_frame(est.timestamps[est.W - 3], ids, np.asarray(pts_old))
-    assert relo is not None and relo["ok"]
-    # expected relative pose: old body vs window frame body
+    stamp = est.timestamps[col]
+    armed = est.set_relo_frame(stamp, ids, np.asarray(pts_old))
+    assert armed is not None and armed["pending"]
+
+    # expected relative pose BEFORE the next solve moves the window: old
+    # body vs matched window frame body
     q_old_b = lie.qmul(q_old_cam, lie.qconj(jnp.asarray(est.qic)))
     p_old_b = p_old_cam - np.asarray(lie.q2R(q_old_b)) @ est.tic
     exp_t, exp_q, exp_yaw = relative_pose_4dof(
         jnp.asarray(p_old_b), q_old_b,
         jnp.asarray(est.p[col]), jnp.asarray(est.q[col]),
     )
-    assert np.allclose(relo["rel_t"], np.asarray(exp_t), atol=1e-3)
-    assert abs(relo["rel_yaw"] - float(exp_yaw)) < 0.05
+
+    # the relo pose is a free block inside the NEXT window solve
+    # (estimator.cpp:769-801) — run one more frame and read the refined
+    # relative pose from its event
+    run2 = driver.run(est, n_frames=1, t0=1.0 + 25 / 10.0)
+    relo = run2.events[-1].get("relo")
+    assert relo is not None and relo["ok"]
+    assert np.allclose(relo["rel_t"], np.asarray(exp_t), atol=5e-3), (
+        relo["rel_t"], np.asarray(exp_t))
+    assert abs(relo["rel_yaw"] - float(exp_yaw)) < 0.2
+    # the joint solve kept the window healthy
+    assert est.last_cost < 1e4
+    assert est._relo is None  # consumed
 
 
 def test_update_keyframe_loop_drift():

@@ -61,6 +61,10 @@ class VinsConfig:
     # reference's separate pose_graph process) — sync by default so tests
     # and tools see deterministic per-frame results
     pg_async: bool = False
+    # software-pipeline the front-end and estimator one published frame
+    # apart (the reference's tracker/estimator process parallelism,
+    # SURVEY §2.6) — off by default so tests see per-frame results
+    overlap: bool = False
     # 4-DoF solve cadence in stream seconds (the reference's 2 s optimize
     # thread, pose_graph.cpp:403); 0 = solve on every accepted loop
     pg_opt_interval: float = 2.0

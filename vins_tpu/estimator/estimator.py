@@ -60,7 +60,7 @@ class Estimator:
         self._packed_step = self._make_packed_step(make_vio_step(
             self.layout, self.noise, self.opts,
             estimate_extrinsic=cfg.estimate_extrinsic >= 1,
-            estimate_td=cfg.estimate_td, jit=False,
+            estimate_td=cfg.estimate_td, jit=False, with_relo=True,
         ))
         self.initializer = Initializer(self.noise, cfg.g_norm, cfg.focal, dtype)
 
@@ -121,6 +121,9 @@ class Estimator:
 
         self.last_p = np.zeros(3)
         self.last_cost = 0.0
+        # pending relocalization match (setReloFrame, estimator.cpp:1128-1146):
+        # consumed by the NEXT window solve as in-problem relo factors
+        self._relo = None
         # post-init health monitor (see _init_health_check)
         self._post_init_costs: list = []
         self.init_rejected_by_health = getattr(self, "init_rejected_by_health", 0)
@@ -298,9 +301,16 @@ class Estimator:
             ("valid", (L, F)), ("anchor", (L,)), ("inv_depth", (L,)),
             ("active", (L,)), ("needs_tri", (L,)),
             ("marg_old", ()), ("last_p", (3,)),
+            # relocalization block (estimator.cpp:769-801): initial old-kf
+            # body pose, per-slot old-kf observations, dynamic on/off gate
+            ("relo_pq", (7,)), ("relo_pt", (L, 2)), ("relo_valid", (L,)),
+            ("relo_on", ()),
         ]
 
     def _make_packed_step(self, raw_step):
+        """Builds the single-blob device step.  The unjitted callable is
+        kept as `self._packed_step_raw` so a multi-stream driver can vmap it
+        into one batched program (parallel/multistream.py)."""
         spec = self._blob_spec()
         sizes = [int(np.prod(shp)) if shp else 1 for _, shp in spec]
         offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
@@ -312,7 +322,6 @@ class Estimator:
                 out[name] = blob[o0:o1].reshape(shp) if shp else blob[o0]
             return out
 
-        @jax.jit
         def stepped(blob, prior):
             f = unpack(blob)
             state = WindowState(p=f["p"], q=f["q"], v=f["v"], ba=f["ba"],
@@ -329,13 +338,35 @@ class Estimator:
                 state, f["imu_dt"], f["imu_acc"], f["imu_gyr"],
                 f["imu_mask"] > 0.5, obs, f["needs_tri"] > 0.5, prior,
                 gravity, f["marg_old"] > 0.5, f["last_p"],
+                f["relo_pq"][:3], f["relo_pq"][3:7], f["relo_pt"],
+                f["relo_valid"] > 0.5, f["relo_on"],
             )
 
-        return stepped
+        self._packed_step_raw = stepped
+        return jax.jit(stepped)
 
     def _pack_blob(self, marg_old: bool) -> np.ndarray:
         dt = self._np_dtype
         db = self.db
+        # pending relo match → per-slot observations + initial pose, gated
+        # on the stamp still being inside the window (vector2double's
+        # relo_frame_local_index search)
+        relo_pq = np.array([0.0, 0, 0, 1, 0, 0, 0])  # [p(3), q_w-first(4)]
+        relo_pt = np.zeros((self.L, 2))
+        relo_valid = np.zeros(self.L)
+        relo_on = 0.0
+        if self._relo is not None:
+            cols = np.nonzero(
+                np.abs(self.timestamps - self._relo["stamp"]) < 1e-6)[0]
+            if len(cols) == 0:
+                self._relo = None
+            else:
+                col = int(cols[-1])
+                self._relo["col"] = col
+                relo_pq = np.concatenate([self.p[col], self.q[col]])
+                relo_pt = self._relo["pt"]
+                relo_valid = self._relo["valid"].astype(float)
+                relo_on = 1.0
         fields = {
             "p": self.p, "q": self.q, "v": self.v, "ba": self.ba,
             "bg": self.bg, "tic": self.tic, "qic": self.qic,
@@ -347,6 +378,8 @@ class Estimator:
             "inv_depth": db.inv_depth, "active": db.active_mask(),
             "needs_tri": (db.inv_depth < 0) & db.active_mask(),
             "marg_old": float(marg_old), "last_p": self.last_p,
+            "relo_pq": relo_pq, "relo_pt": relo_pt,
+            "relo_valid": relo_valid, "relo_on": relo_on,
         }
         return np.concatenate(
             [np.ravel(np.asarray(fields[name], dt)) for name, _ in
@@ -384,6 +417,18 @@ class Estimator:
             return False
         return int(self.imu_n[self.W - 2] + self.imu_n[self.W - 1]) > self.N
 
+    def pre_step(self, ids, pts, vels, uvs, t: float, toffs=0.0):
+        """Host half of a NON_LINEAR frame BEFORE the device solve:
+        propagation, feature-DB insert + keyframe decision, blob packing.
+        Returns (blob, marg_old) for a (possibly batched) device step whose
+        fetched result goes to `post_step` (parallel/multistream.py)."""
+        self._propagate_newest()
+        col = min(self.frame_count, self.W)
+        marg_old = self.db.add_frame(ids, pts, vels, uvs, toffs, col)
+        marg_old = marg_old or self._overflow_guard()
+        self.timestamps[col] = t
+        return self._pack_blob(marg_old), marg_old
+
     def _solve_and_slide(self, marg_old: bool, failure_check: bool) -> dict:
         res = self._packed_step(self._pack_blob(marg_old), self.prior)
         # ONE batched device->host transfer for the whole result: per-array
@@ -392,7 +437,13 @@ class Estimator:
         # prior stays on device for the next step.
         prior_dev = res.prior
         res = jax.device_get(res._replace(prior=None))
+        return self.post_step(res, prior_dev, marg_old, failure_check)
 
+    def post_step(self, res, prior_dev, marg_old: bool,
+                  failure_check: bool) -> dict:
+        """Host half AFTER the device solve (res already fetched, prior
+        still on device — pass prior_dev=None to leave self.prior alone,
+        e.g. when a multi-stream driver owns a stacked prior)."""
         if failure_check:
             few_feats = self.db.count_tracked(self.F - 1) < 2
             if bool(res.fail_imu) or bool(res.fail_jump) or few_feats:
@@ -406,12 +457,17 @@ class Estimator:
                 return {"ok": False, "reason": "bad init (cost health)"}
 
         self._adopt_state(res.state)
-        self.prior = prior_dev
+        if prior_dev is not None:
+            self.prior = prior_dev
         self.db.remove_failures(np.asarray(res.inv_depth))
         self.last_cost = float(res.cost)
+        relo_out = self._relo_result(res)  # pre-slide frame indexing
         self._slide(marg_old)
         self.last_p = self.p[self.W].copy()
-        return {"ok": True, "marg_old": bool(marg_old), "cost": self.last_cost}
+        out = {"ok": True, "marg_old": bool(marg_old), "cost": self.last_cost}
+        if relo_out is not None:
+            out["relo"] = relo_out
+        return out
 
     # thresholds for the post-init health monitor: whitened total cost of a
     # converged healthy window sits around 1e2-1e3 on the proxy; a mis-scaled
@@ -509,70 +565,60 @@ class Estimator:
 
     def set_relo_frame(self, stamp: float, match_ids, match_pts_norm):
         """Fast relocalization (Estimator::setReloFrame, estimator.cpp:
-        1128-1146 + the relo block of optimization(), :769-801): given the
-        loop match — feature ids + their normalized 2D coordinates in the OLD
-        keyframe — refine the old keyframe's pose in the *current* VIO world
-        against this window's landmarks and return the refined relative pose
-        (relo_relative_t/q/yaw, :597-618) for PoseGraph.update_keyframe_loop.
+        1128-1146): record the loop match — feature ids + their normalized
+        2D coordinates in the OLD keyframe.  The NEXT window solve adds the
+        relo pose as a free parameter block with projection factors tying
+        window landmarks to the old observations (the relo block of
+        optimization(), :769-801); the refined relative pose comes back in
+        that solve's event as ev["relo"] (relo_relative_t/q/yaw, :597-618).
 
-        Returns dict {ok, rel_t, rel_q, rel_yaw, n_inliers} or None when the
-        stamp is no longer in the window / too few id matches."""
-        from ..loop.relocalize import refine_relo_pose, relative_pose_4dof
-
+        Returns {"pending": True} when armed, None otherwise."""
         if self.solver_flag != NON_LINEAR:
             return None
-        cols = np.nonzero(np.abs(self.timestamps - stamp) < 1e-6)[0]
-        if len(cols) == 0:
+        if not np.any(np.abs(self.timestamps - stamp) < 1e-6):
             return None
-        col = int(cols[-1])
 
-        # window landmarks matched by feature id (estimator.cpp:778-795)
+        # slot-aligned old-keyframe observations (estimator.cpp:778-795
+        # matches by feature id against the window feature list)
         slot_of = {int(i): k for k, i in enumerate(self.db.ids) if i >= 0}
-        L = self.L
-        X = np.zeros((L, 3))
-        x_old = np.zeros((L, 2))
-        ok_m = np.zeros(L, bool)
-        Ric = nplie.q2R(self.qic)
+        pt = np.zeros((self.L, 2))
+        valid = np.zeros(self.L, bool)
         n = 0
-        for fid, pt in zip(np.asarray(match_ids), np.asarray(match_pts_norm)):
+        for fid, p2 in zip(np.asarray(match_ids), np.asarray(match_pts_norm)):
             k = slot_of.get(int(fid))
             if k is None or self.db.inv_depth[k] <= 0:
                 continue
-            a = int(self.db.anchor[k])
-            ray = np.append(self.db.pt[k, a], 1.0) / self.db.inv_depth[k]
-            Ra = nplie.q2R(self.q[a])
-            X[n] = Ra @ (Ric @ ray + self.tic) + self.p[a]
-            x_old[n] = pt[:2]
-            ok_m[n] = True
+            pt[k] = p2[:2]
+            valid[k] = True
             n += 1
         if n < 20:
             return None
+        self._relo = {"stamp": float(stamp), "pt": pt, "valid": valid,
+                      "col": -1, "n": n}
+        return {"pending": True, "n_matches": n}
 
-        # init: the matched window frame's camera pose (vector2double inits
-        # relo_Pose from para_Pose[relo_frame_local_index])
-        Rb = nplie.q2R(self.q[col])
-        p0 = self.p[col] + Rb @ self.tic
-        q0 = nplie.qmul(self.q[col], self.qic)
+    def _relo_result(self, res) -> dict | None:
+        """Refined relative pose from a solve that consumed the pending
+        relo match (double2vector's relo tail, estimator.cpp:597-618)."""
+        from ..loop.relocalize import relative_pose_4dof
 
-        res = jax.device_get(refine_relo_pose(
-            jnp.asarray(X, self.dtype), jnp.asarray(x_old, self.dtype),
-            jnp.asarray(ok_m), jnp.asarray(p0, self.dtype), jnp.asarray(q0),
-        ))
-        if not bool(res.ok):
+        if self._relo is None or self._relo.get("col", -1) < 0:
             return None
-        # old keyframe BODY pose in the current world
-        q_old_b = nplie.qmul(np.asarray(res.q), nplie.qconj(self.qic))
-        p_old_b = np.asarray(res.p) - nplie.q2R(q_old_b) @ self.tic
+        if res.relo_p is None:
+            return None
+        col = self._relo["col"]
         rel_t, rel_q, rel_yaw = jax.device_get(relative_pose_4dof(
-            jnp.asarray(p_old_b, self.dtype), jnp.asarray(q_old_b),
-            jnp.asarray(self.p[col], self.dtype), jnp.asarray(self.q[col], self.dtype),
+            jnp.asarray(np.asarray(res.relo_p), self.dtype),
+            jnp.asarray(np.asarray(res.relo_q)),
+            jnp.asarray(np.asarray(res.state.p[col]), self.dtype),
+            jnp.asarray(np.asarray(res.state.q[col])),
         ))
+        self._relo = None
         return {
             "ok": True,
             "rel_t": np.asarray(rel_t),
             "rel_q": np.asarray(rel_q),
             "rel_yaw": float(rel_yaw),
-            "n_inliers": int(res.n_inliers),
         }
 
     def _calibrate_extrinsic(self, col: int):

@@ -43,6 +43,10 @@ class StepResult(NamedTuple):
     cost: jax.Array
     fail_imu: jax.Array  # [] bool: bias blow-up (Ba > 2.5 or Bg > 1.0)
     fail_jump: jax.Array  # [] bool: position jump vs last state
+    # refined relocalization BODY pose (same world/gauge as `state`);
+    # None when the step was built without the relo block
+    relo_p: jax.Array | None = None
+    relo_q: jax.Array | None = None
 
 
 def triangulate_depths(state: WindowState, obs: FeatureObs) -> jax.Array:
@@ -77,9 +81,11 @@ def triangulate_depths(state: WindowState, obs: FeatureObs) -> jax.Array:
     return 1.0 / depth
 
 
-def reanchor_yaw(state: WindowState, origin_p0: jax.Array, origin_q0: jax.Array) -> WindowState:
+def reanchor_yaw(state: WindowState, origin_p0: jax.Array, origin_q0: jax.Array):
     """double2vector's gauge fix (estimator.cpp:530-577): rotate/translate the
-    whole window so frame 0 keeps its pre-solve yaw and position."""
+    whole window so frame 0 keeps its pre-solve yaw and position.  Returns
+    (state, (rot_diff, q_diff, p0_new, origin_p0)) — the transform is also
+    applied to the relo pose block (:586-595)."""
     origin_R0 = lie.q2R(origin_q0)
     ypr_origin = lie.R2ypr(origin_R0)
     R0_new = lie.q2R(state.q[0])
@@ -97,7 +103,7 @@ def reanchor_yaw(state: WindowState, origin_p0: jax.Array, origin_q0: jax.Array)
     p = jax.vmap(lambda pi: rot_diff @ (pi - p0_new))(state.p) + origin_p0
     q = jax.vmap(lambda qi: lie.qnormalize(lie.qmul(q_diff, qi)))(state.q)
     v = jax.vmap(lambda vi: rot_diff @ vi)(state.v)
-    return state._replace(p=p, q=q, v=v)
+    return state._replace(p=p, q=q, v=v), (rot_diff, q_diff, p0_new, origin_p0)
 
 
 def make_vio_step(
@@ -108,11 +114,18 @@ def make_vio_step(
     estimate_td: bool = False,
     axis_name: str | None = None,
     jit: bool = True,
+    with_relo: bool = False,
 ):
     """Build the per-frame step for a fixed window layout.  With `axis_name`
     the landmark axis of `obs` is sharded over that mesh axis (distributed
     Schur assembly inside the solve and the marginalization); leave None for
-    single-shard operation."""
+    single-shard operation.
+
+    With `with_relo`, the step takes 5 extra trailing arguments
+    (relo_p0 [3], relo_q0 [4], relo_pt [L,2], relo_valid [L], relo_on [])
+    and jointly optimizes the relo pose inside the window solve
+    (estimator.cpp:769-801); `relo_on` gates the factors dynamically so the
+    SAME program serves frames without a match."""
 
     maybe_jit = jax.jit if jit else (lambda f: f)
 
@@ -129,6 +142,7 @@ def make_vio_step(
         gravity: jax.Array,
         marg_old: jax.Array,  # [] bool
         last_p: jax.Array,  # [3] previous newest position (failure check)
+        *relo_args,
     ) -> StepResult:
         # 1. preintegrate at current biases (always-relinearize)
         pres = jax.vmap(
@@ -142,14 +156,27 @@ def make_vio_step(
 
         # 3. solve
         origin_p0, origin_q0 = state.p[0], state.q[0]
-        solved, lam, info = solve_window(
-            state, obs2, pres, prior, gravity, layout, opts,
-            estimate_extrinsic=estimate_extrinsic, estimate_td=estimate_td,
-            axis_name=axis_name,
-        )
+        if with_relo:
+            solved, lam, info, relo_p, relo_q = solve_window(
+                state, obs2, pres, prior, gravity, layout, opts,
+                estimate_extrinsic=estimate_extrinsic,
+                estimate_td=estimate_td, axis_name=axis_name,
+                relo=tuple(relo_args),
+            )
+        else:
+            solved, lam, info = solve_window(
+                state, obs2, pres, prior, gravity, layout, opts,
+                estimate_extrinsic=estimate_extrinsic, estimate_td=estimate_td,
+                axis_name=axis_name,
+            )
+            relo_p = relo_q = None
 
-        # 4. gauge re-anchor
-        solved = reanchor_yaw(solved, origin_p0, origin_q0)
+        # 4. gauge re-anchor (applied to the relo pose too, :586-595)
+        solved, (rot_diff, q_diff, p0_new, op0) = reanchor_yaw(
+            solved, origin_p0, origin_q0)
+        if with_relo:
+            relo_p = rot_diff @ (relo_p - p0_new) + op0
+            relo_q = lie.qnormalize(lie.qmul(q_diff, relo_q))
 
         # 5. failure metrics (estimator.cpp:621-667)
         F = layout.F
@@ -174,6 +201,7 @@ def make_vio_step(
             state=solved, inv_depth=lam, prior=prior_new,
             cost0=info.cost0, cost=info.cost,
             fail_imu=fail_imu, fail_jump=fail_jump,
+            relo_p=relo_p, relo_q=relo_q,
         )
 
     # solver chain needs true f32 dots (core/precision.py)

@@ -48,14 +48,29 @@ def scharr_gradients(img: jax.Array):
     return conv(kx), conv(ky)
 
 
+def _shift_rows(x: jax.Array, d: int) -> jax.Array:
+    """out[i] = x[i+d], zero-filled at the borders (matches the previous
+    conv_general_dilated zero padding)."""
+    H = x.shape[0]
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate([x[d:], jnp.zeros((d,) + x.shape[1:], x.dtype)])
+    return jnp.concatenate([jnp.zeros((-d,) + x.shape[1:], x.dtype), x[:d]])
+
+
 def pyr_down(img: jax.Array) -> jax.Array:
-    """Gaussian 5×5 blur + 2× decimation (cv::pyrDown)."""
-    g = jnp.asarray([1.0, 4, 6, 4, 1], img.dtype) / 16.0
-    k = g[:, None] * g[None, :]
-    out = jax.lax.conv_general_dilated(
-        img[None, None], k[None, None], (2, 2), [(2, 2), (2, 2)]
-    )[0, 0]
-    return out
+    """Gaussian 5×5 blur + 2× decimation (cv::pyrDown).
+
+    Separable 5-tap stencil (shifted adds) + strided slice: single-channel
+    small convs lower poorly on the TPU conv unit (measured 7 ms for the
+    3-level pyramid; the stencil form is bandwidth-bound)."""
+    g = [1 / 16.0, 4 / 16.0, 6 / 16.0, 4 / 16.0, 1 / 16.0]
+    # rows pass (zero padding to match conv_general_dilated's (2,2) pad)
+    v = sum(w * _shift_rows(img, d) for w, d in zip(g, (-2, -1, 0, 1, 2)))
+    vt = v.T
+    h = sum(w * _shift_rows(vt, d) for w, d in zip(g, (-2, -1, 0, 1, 2)))
+    return h.T[::2, ::2]
 
 
 def build_pyramid(img: jax.Array, levels: int = 3):
@@ -96,7 +111,18 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
     lut = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
     lut = lut.reshape(tiles, tiles, nbins)
 
-    # bilinear interpolation of the 4 neighboring tile LUTs per pixel
+    if th % 2 == 0 and tw % 2 == 0:
+        out = _apply_lut_blocked(bins, lut, tiles, th, tw, nbins, dt)
+    else:
+        out = _apply_lut_gather(bins, lut, tiles, th, tw, dt)
+    full = img.astype(dt)
+    full = full.at[: th * tiles, : tw * tiles].set(out)
+    return full
+
+
+def _apply_lut_gather(bins, lut, tiles, th, tw, dt):
+    """Reference formulation: bilinear interpolation of the 4 neighboring
+    tile LUTs, one 3D gather per pixel per corner."""
     yy = (jnp.arange(th * tiles, dtype=dt) + 0.5) / th - 0.5
     xx = (jnp.arange(tw * tiles, dtype=dt) + 0.5) / tw - 0.5
     y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, tiles - 1)
@@ -105,15 +131,50 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
     x1 = jnp.clip(x0 + 1, 0, tiles - 1)
     fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None]
     fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :]
-
-    b = bins  # [H',W']
-    g = lambda ty, tx: lut[ty[:, None], tx[None, :], b]
-    out = (
+    g = lambda ty, tx: lut[ty[:, None], tx[None, :], bins]
+    return (
         g(y0, x0) * (1 - fy) * (1 - fx)
         + g(y0, x1) * (1 - fy) * fx
         + g(y1, x0) * fy * (1 - fx)
         + g(y1, x1) * fy * fx
     )
-    full = img.astype(dt)
-    full = full.at[: th * tiles, : tw * tiles].set(out)
-    return full
+
+
+def _apply_lut_blocked(bins, lut, tiles, th, tw, nbins, dt):
+    """Half-tile-shifted block formulation of the same interpolation: pad by
+    half a tile so every (tiles+1)² block shares ONE set of 4 corner LUTs
+    and constant per-position weights; each corner's mapped image is then a
+    batched per-block 256-entry table lookup.  Equivalent to the per-pixel
+    gather path (edge blocks have identical corner pairs, making the clipped
+    weights irrelevant), but ~10× faster on TPU, where the per-pixel 3D
+    gather dominated the whole CLAHE (16 ms of a 16.4 ms kernel)."""
+    o_y, o_x = th // 2, tw // 2
+    Tp = tiles + 1
+    binsp = jnp.pad(bins, ((o_y, th - o_y), (o_x, tw - o_x)), mode="edge")
+    blocks = binsp.reshape(Tp, th, Tp, tw).transpose(0, 2, 1, 3).reshape(
+        Tp * Tp, th * tw)
+    k = jnp.arange(Tp)
+    lo = jnp.clip(k - 1, 0, tiles - 1)
+    hi = jnp.clip(k, 0, tiles - 1)
+
+    def corner(sel_y, sel_x):
+        return lut[sel_y[:, None], sel_x[None, :], :].reshape(Tp * Tp, nbins)
+
+    # the 4 corner lookups as ONE one-hot contraction: TPU gathers run at
+    # ~65 M elements/s (measured — the original per-pixel LUT gather was 16
+    # of CLAHE's 16.4 ms) while the same lookup as a fused compare-reduce
+    # runs at VPU speed, exactly like the histogram above
+    L4 = jnp.stack([corner(sy, sx) for sy in (lo, hi) for sx in (lo, hi)],
+                   axis=-1)  # [Tp², nbins, 4]
+    oh = jax.nn.one_hot(blocks, nbins, dtype=dt)  # [Tp², th·tw, nbins]
+    maps4 = jnp.einsum("tib,tbc->tic", oh, L4,
+                       precision=jax.lax.Precision.HIGHEST)  # [Tp², th·tw, 4]
+    fy = ((jnp.arange(th, dtype=dt) + 0.5) / th)[:, None]
+    fx = ((jnp.arange(tw, dtype=dt) + 0.5) / tw)[None, :]
+    ws = jnp.stack([(wy * wx).reshape(-1)
+                    for wy in (1 - fy, fy) for wx in (1 - fx, fx)],
+                   axis=-1)  # [th·tw, 4]
+    outb = jnp.sum(maps4 * ws[None], axis=-1)
+    out = outb.reshape(Tp, Tp, th, tw).transpose(0, 2, 1, 3).reshape(
+        Tp * th, Tp * tw)
+    return out[o_y:o_y + th * tiles, o_x:o_x + tw * tiles]

@@ -114,6 +114,48 @@ class FeatureTracker:
             uv=self.pts[pub_mask].copy(),
         )
 
+    def read_image_device(self, img, t: float, publish: bool = True):
+        """Overlap-mode half of read_image: dispatch the fused front step
+        and return the DEVICE blob without fetching (an async host copy is
+        started so a later `adopt_blob` is ~free).  Track-only frames return
+        None.  The caller owns the pipeline ordering (pipeline.py
+        `_process_image_overlapped`)."""
+        if self._state is None:
+            h, w = (img.shape if self._shape is None else self._shape)
+            self._state = make_front_state(self.M, h, w, self.dtype)
+        dt = (t - self.prev_time) if self.prev_time is not None else 0.0
+        self._key, sub = jax.random.split(self._key)
+        self._state, blob = self._step(
+            self._state, img, np.float32(dt), sub, np.int32(self.n_id),
+            publish=bool(publish), has_prev=self._has_prev,
+        )
+        self.prev_time = t
+        self._has_prev = True
+        if not publish:
+            return None
+        try:
+            blob.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # platform-dependent
+            pass
+        return blob
+
+    def adopt_blob(self, blob) -> FrameFeatures:
+        """Fetch + unpack a deferred front blob into host mirrors and the
+        estimator wire format (the fetch half of read_image)."""
+        un, vel, pts, pub_mask, valid, cnt, ids, n_new = unpack_front_blob(
+            jax.device_get(blob), self.M)
+        self.pts = np.asarray(pts, float)
+        self.valid = valid
+        self.track_cnt = cnt.astype(np.int64)
+        self.ids = ids.astype(np.int64)
+        self.n_id += int(n_new)
+        return FrameFeatures(
+            ids=self.ids[pub_mask].copy(),
+            pts=np.asarray(un, float)[pub_mask],
+            vel=np.asarray(vel, float)[pub_mask],
+            uv=self.pts[pub_mask].copy(),
+        )
+
     def reset(self):
         self._state = None
         self._has_prev = False

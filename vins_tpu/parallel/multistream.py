@@ -1,0 +1,230 @@
+"""Batched multi-stream pipeline: S independent VIO streams on one chip.
+
+The single-stream pipeline is dominated by per-dispatch/fetch round trips
+(~26 ms RTT on a remote-attached chip) and per-frame device programs that
+leave most of the chip idle.  This driver amortizes both by running S
+streams in lock-step through TWO batched device programs per frame tick:
+
+  * one `vmap`ped fused front-end step (frontend/fused.py) over the stacked
+    tracker states + images — one dispatch, one packed blob fetch for all
+    S streams;
+  * one `vmap`ped fused VIO step (the estimator's packed step) over the
+    stacked window blobs + priors — one dispatch, one fetch.
+
+Host bookkeeping (feature DB, sliding, keyframe decisions, pose graphs)
+stays per-stream numpy, exactly the single-stream code paths
+(Estimator.pre_step/post_step).  Streams still in INITIAL fall back to the
+ordinary per-stream `Estimator.process_image`; once NON_LINEAR they join
+the batched step.  A stream that reboots falls back transparently.
+
+This realizes BASELINE configs[4] (batched replay of many sequences) on a
+single chip — the same `vmap` axes become `shard_map` axes over a mesh for
+the pod-scale path (parallel/sharded.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VinsConfig
+from ..estimator.estimator import INITIAL, NON_LINEAR
+from ..pipeline import Pipeline
+from ..solver.problem import Prior
+
+
+class MultiPipeline:
+    """S lock-step pipelines sharing batched device programs.
+
+    Each stream keeps its own full `Pipeline` (estimator, tracker host
+    mirrors, pose graph, trajectories); the device work is batched."""
+
+    def __init__(self, make_pipe, S: int, loop_closure: bool = True):
+        self.S = S
+        self.pipes: list[Pipeline] = [make_pipe(s) for s in range(S)]
+        p0 = self.pipes[0]
+        self.cfg = p0.cfg
+        est0 = p0.estimator
+
+        # batched estimator step over (blob [S,D], prior pytree [S,...])
+        self._est_step = jax.jit(jax.vmap(est0._packed_step_raw))
+        self._prior_b = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[p.estimator.prior for p in self.pipes])
+
+        # batched front-end steps: vmap over (state, img, dt, key, n_id),
+        # one program per static (publish, has_prev) combination
+        self._front_cache: dict = {}
+        self._front_state_b = None
+        self._has_prev = False
+
+    def _front_batched(self, publish: bool, has_prev: bool):
+        key = (publish, has_prev)
+        if key not in self._front_cache:
+            raw = self.pipes[0].tracker._step.__wrapped__
+
+            def fn(st, im, dt, k, n):
+                return raw(st, im, dt, k, n, publish=publish,
+                           has_prev=has_prev)
+
+            self._front_cache[key] = jax.jit(jax.vmap(fn))
+        return self._front_cache[key]
+
+    # ------------------------------------------------------------------ IMU
+
+    def process_imu(self, s: int, t: float, acc, gyr):
+        """Per-stream IMU sample (cheap numpy stores; the IMU-rate
+        propagator output is skipped in batched mode — it is a per-stream
+        low-latency output, not part of the estimation path)."""
+        pipe = self.pipes[s]
+        est = pipe.estimator
+        dt = t - pipe.propagator.t if pipe.propagator.t is not None else 0.0
+        pipe.propagator.t = t
+        est.process_imu(dt, acc, gyr)
+
+    # ---------------------------------------------------------------- frame
+
+    def process_images(self, imgs, t: float, publish: bool = True) -> list:
+        """One synchronized frame tick for all S streams.  `imgs`: [S,H,W]
+        device array (or stackable host arrays).  Returns per-stream event
+        dicts."""
+        S = self.S
+        trs = [p.tracker for p in self.pipes]
+        if self._front_state_b is None:
+            from ..frontend.fused import make_front_state
+
+            h, w = imgs.shape[-2:]
+            states = [make_front_state(tr.M, h, w, tr.dtype) for tr in trs]
+            self._front_state_b = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *states)
+
+        dts = np.asarray([
+            (t - tr.prev_time) if tr.prev_time is not None else 0.0
+            for tr in trs], np.float32)
+        keys = []
+        for tr in trs:
+            tr._key, sub = jax.random.split(tr._key)
+            keys.append(sub)
+        n_ids = np.asarray([tr.n_id for tr in trs], np.int32)
+
+        step = self._front_batched(bool(publish), self._has_prev)
+        self._front_state_b, blobs = step(
+            self._front_state_b, imgs, dts, jnp.stack(keys), n_ids)
+        self._has_prev = True
+        for tr in trs:
+            tr.prev_time = t
+        if not publish:
+            return [{"published": False}] * S
+
+        from ..frontend.fused import unpack_front_blob
+
+        blobs_h = np.asarray(jax.device_get(blobs))
+        events: list = [None] * S
+        batch_idx: list[int] = []
+        batch_blobs: list[np.ndarray] = []
+        batch_marg: list[bool] = []
+        feats_all = []
+        for s in range(S):
+            tr = trs[s]
+            un, vel, pts, pub_mask, valid, cnt, ids, n_new = \
+                unpack_front_blob(blobs_h[s], tr.M)
+            tr.pts = np.asarray(pts, float)
+            tr.valid = valid
+            tr.track_cnt = cnt.astype(np.int64)
+            tr.ids = ids.astype(np.int64)
+            tr.n_id += int(n_new)
+            fid = tr.ids[pub_mask].copy()
+            feats = (fid, np.asarray(un, float)[pub_mask],
+                     np.asarray(vel, float)[pub_mask],
+                     tr.pts[pub_mask].copy())
+            feats_all.append(feats)
+            est = self.pipes[s].estimator
+            if est.solver_flag == NON_LINEAR:
+                blob, marg = est.pre_step(*feats, t)
+                batch_idx.append(s)
+                batch_blobs.append(blob)
+                batch_marg.append(marg)
+            else:
+                # INITIAL / rebooting streams use the per-stream path
+                events[s] = est.process_image(*feats, t)
+                if est.solver_flag == NON_LINEAR:
+                    # joined the batch from the next frame; sync its prior
+                    self._set_prior(s, est.prior)
+
+        if batch_idx:
+            # streams not in the batch still occupy their slot (the vmapped
+            # program has a fixed batch size S) — fill with zeros; their
+            # result and prior slot are discarded below
+            full = np.zeros((S,) + batch_blobs[0].shape,
+                            batch_blobs[0].dtype)
+            for k, s in enumerate(batch_idx):
+                full[s] = batch_blobs[k]
+            res_b = self._est_step(full, self._prior_b)
+            prior_b = res_b.prior
+            res_h = jax.device_get(res_b._replace(prior=None))
+            # keep the prior ONLY for batched slots (a zero-blob run's
+            # prior is garbage)
+            sel = np.zeros(S, bool)
+            sel[batch_idx] = True
+            sel_d = jnp.asarray(sel)
+            self._prior_b = jax.tree.map(
+                lambda old, new: jnp.where(
+                    sel_d.reshape((S,) + (1,) * (old.ndim - 1)), new, old),
+                self._prior_b, prior_b)
+            for k, s in enumerate(batch_idx):
+                res_s = jax.tree.map(lambda x: x[s], res_h)
+                est = self.pipes[s].estimator
+                ev = est.post_step(res_s, None, batch_marg[k],
+                                   failure_check=True)
+                ev["kind"] = "vio" if ev.get("ok", True) else "reboot"
+                if not ev.get("ok", True):
+                    # rebooted: reset this stream's prior slot
+                    self._set_prior(s, est.prior)
+                events[s] = ev
+
+        # downstream per stream: trajectories, pose-graph handoff
+        for s in range(S):
+            pipe = self.pipes[s]
+            est = pipe.estimator
+            ev = events[s] or {}
+            if pipe.pose_graph is not None:
+                pipe._maybe_relo_feedback(ev)
+            if est.solver_flag == NON_LINEAR and ev.get("ok", True):
+                W = est.W
+                p, q = est.p[W].copy(), est.q[W].copy()
+                pipe.trajectory.append((t, p, q))
+                if pipe.pose_graph is not None:
+                    pc, qc = pipe.pose_graph.correct_pose(p, q, pipe.sequence)
+                    pipe.trajectory_loop.append((t, pc, qc))
+                    while pipe._relo_queue:
+                        pipe._apply_relo(pipe._relo_queue.pop(0))
+                    if ev.get("marg_old"):
+                        payload = pipe._build_keyframe_payload()
+                        if payload is not None:
+                            if pipe.pg_async:
+                                import queue as _q
+
+                                try:
+                                    pipe._pg_queue.put_nowait(payload)
+                                except _q.Full:
+                                    pipe.pg_dropped += 1
+                            else:
+                                res = pipe._pg_process(payload)
+                                pipe.pg_events.append(res)
+        return events
+
+    def _set_prior(self, s: int, prior: Prior):
+        self._prior_b = jax.tree.map(
+            lambda b, x: b.at[s].set(jnp.asarray(x)), self._prior_b, prior)
+
+    def push_image_ring(self, s: int, t: float, img):
+        """Keep the keyframe image ring fed (pose-graph handoff)."""
+        pipe = self.pipes[s]
+        pipe._img_ring.append((t, img))
+        if len(pipe._img_ring) > 6:
+            pipe._img_ring.pop(0)
+
+    def finish(self):
+        for p in self.pipes:
+            p.pg_join()
+            p.shutdown()

@@ -50,7 +50,8 @@ def circular_fov_mask(h: int, w: int, margin: int = 4) -> np.ndarray:
 
 class Pipeline:
     def __init__(self, cfg: VinsConfig, camera, imu_buf_len: int = 256,
-                 loop_closure: bool | None = None, dtype=jnp.float64):
+                 loop_closure: bool | None = None, dtype=jnp.float64,
+                 overlap: bool | None = None):
         self.cfg = cfg
         self.camera = camera
         mask = circular_fov_mask(cfg.image_height, cfg.image_width) if cfg.fisheye else None
@@ -83,6 +84,22 @@ class Pipeline:
                 target=self._pg_worker, name="pose_graph", daemon=True)
             self._pg_thread.start()
 
+        # Overlapped (software-pipelined) mode: the estimator consumes the
+        # PREVIOUS published frame's features while the current frame's
+        # front-end program runs on device.  The reference runs the tracker
+        # and the estimator as separate ROS processes (SURVEY §2.6) — this
+        # is the same one-frame pipeline parallelism, single-threaded:
+        #   1. fetch front blob(t_prev) (async host copy started last call
+        #      — usually already arrived → ~0 ms),
+        #   2. estimator(t_prev): dispatched BEFORE front(t) so its fetch
+        #      never waits behind the front program on the device queue,
+        #   3. dispatch front(t), start its async host copy.
+        # Per published frame the host blocks ~one fetch RTT instead of two
+        # serialized (front-execute + fetch, then estimator fetch).
+        self.overlap = bool(cfg.overlap) if overlap is None else bool(overlap)
+        self._pending = None   # (t, device blob) of the unconsumed front frame
+        self._imu_backlog = []  # (dt, acc, gyr) since the pending frame
+
         self.freq = cfg.freq
         self._pub_count = 0
         self._first_image_time = None
@@ -102,10 +119,13 @@ class Pipeline:
     # ------------------------------------------------------------------ IMU
 
     def process_imu(self, t: float, acc, gyr):
-        self.estimator.process_imu(
-            t - self.propagator.t if self.propagator.t is not None else 0.0,
-            acc, gyr,
-        )
+        dt = t - self.propagator.t if self.propagator.t is not None else 0.0
+        if self.overlap:
+            # estimator input is delayed one published frame; the IMU-rate
+            # output path (propagator) stays real-time
+            self._imu_backlog.append((t, dt, acc, gyr))
+        else:
+            self.estimator.process_imu(dt, acc, gyr)
         return self.propagator.predict(t, acc, gyr)
 
     # ---------------------------------------------------------------- image
@@ -127,6 +147,9 @@ class Pipeline:
             self._first_image_time = t
             self._pub_count = 0
 
+        if self.overlap:
+            return self._process_image_overlapped(img, t, publish)
+
         with self.tracer.span("frontend"):
             feats = self.tracker.read_image(img, t, publish=publish)
         out = {"published": publish}
@@ -138,7 +161,59 @@ class Pipeline:
         self._img_ring.append((t, img))
         if len(self._img_ring) > 6:
             self._img_ring.pop(0)
+        out.update(self._estimator_and_downstream(feats, t))
+        return out
 
+    def _process_image_overlapped(self, img, t: float, publish: bool) -> dict:
+        """Software-pipelined frame path (see __init__ docs): consume the
+        pending front frame through the estimator first (its blob fetch was
+        started asynchronously last call and its device program must precede
+        the new front program in the device queue), then dispatch the
+        current frame's front-end."""
+        out = {"published": publish}
+        out.update(self._consume_pending())
+        with self.tracer.span("frontend"):
+            blob = self.tracker.read_image_device(img, t, publish=publish)
+        if publish:
+            self._pub_count += 1
+            self._img_ring.append((t, img))
+            if len(self._img_ring) > 6:
+                self._img_ring.pop(0)
+            self._pending = (t, blob)
+        return out
+
+    def _consume_pending(self) -> dict:
+        if self._pending is None:
+            # keep the estimator's open IMU interval aligned with published
+            # frames: no pending frame means the backlog belongs to the NEXT
+            # published frame's interval — hold it
+            return {}
+        t_prev, blob = self._pending
+        self._pending = None
+        # samples at or before the pending frame's timestamp close ITS
+        # interval (they predate the frame — e.g. the pre-first-frame
+        # samples); later samples open the next interval after processing
+        before = [s for s in self._imu_backlog if s[0] <= t_prev + 1e-12]
+        after = [s for s in self._imu_backlog if s[0] > t_prev + 1e-12]
+        self._imu_backlog.clear()
+        for _, dt, acc, gyr in before:
+            self.estimator.process_imu(dt, acc, gyr)
+        with self.tracer.span("front_fetch"):
+            feats = self.tracker.adopt_blob(blob)
+        out = {}
+        if feats is not None:
+            out = self._estimator_and_downstream(feats, t_prev)
+        for _, dt, acc, gyr in after:
+            self.estimator.process_imu(dt, acc, gyr)
+        return out
+
+    def flush_frames(self):
+        """Drain the overlap-mode pending frame (end of stream — call
+        before scoring trajectories)."""
+        if self.overlap:
+            self._consume_pending()
+
+    def _estimator_and_downstream(self, feats, t: float) -> dict:
         # rolling-shutter per-observation time offset: a feature on pixel row
         # r was captured TR·(r/ROW − ½) after the nominal (middle-row) frame
         # time (projection_td_factor.cpp:18,50-52: TR/ROW·(row − ROW/2)); the
@@ -153,9 +228,11 @@ class Pipeline:
             ev = self.estimator.process_image(
                 feats.ids, feats.pts, feats.vel, feats.uv, t, toffs=toffs,
             )
-        out.update(ev)
+        out = dict(ev)
 
         est = self.estimator
+        if self.pose_graph is not None:
+            self._maybe_relo_feedback(ev)
         if est.solver_flag == NON_LINEAR:
             W = est.W
             p, q = est.p[W].copy(), est.q[W].copy()
@@ -193,6 +270,7 @@ class Pipeline:
     def pg_join(self):
         """Drain the pose-graph worker queue and force the pending 4-DoF
         solve (end of stream / before scoring)."""
+        self.flush_frames()
         if self.pg_async:
             self._pg_queue.join()
         while self._relo_queue:
@@ -443,17 +521,27 @@ class Pipeline:
         return "\n".join(lines)
 
     def _apply_relo(self, match: dict):
-        """Route a loop match back through the estimator for a BA-refined
-        loop edge (the reference's match_points → setReloFrame →
-        relo_relative_pose → updateKeyFrameLoop round trip).  Runs on the
-        frame loop thread — the estimator is single-threaded state."""
-        relo = self.estimator.set_relo_frame(
+        """Route a loop match back through the estimator (the reference's
+        match_points → setReloFrame round trip).  The match arms relo
+        factors inside the NEXT window solve (estimator.cpp:769-801); the
+        refined relative pose comes back in that solve's event and
+        `_maybe_relo_feedback` forwards it to the pose graph
+        (relo_relative_pose → updateKeyFrameLoop).  Runs on the frame loop
+        thread — the estimator is single-threaded state."""
+        armed = self.estimator.set_relo_frame(
             match["stamp"], match["ids"], match["pts_old"]
         )
-        if relo is not None and relo["ok"]:
+        if armed is not None:
+            self._relo_kf_index = match["kf_index"]
+
+    def _maybe_relo_feedback(self, ev: dict):
+        relo = ev.get("relo")
+        kf_index = getattr(self, "_relo_kf_index", None)
+        if relo is not None and relo.get("ok") and kf_index is not None:
             self.pose_graph.update_keyframe_loop(
-                match["kf_index"], relo["rel_t"], relo["rel_q"], relo["rel_yaw"]
+                kf_index, relo["rel_t"], relo["rel_q"], relo["rel_yaw"]
             )
+            self._relo_kf_index = None
 
     # ---------------------------------------------------------------- admin
 
@@ -467,6 +555,8 @@ class Pipeline:
         self._pub_count = 0
         self._img_ring.clear()
         self._prev_kf_fast = None
+        self._pending = None
+        self._imu_backlog.clear()
         self.sequence += 1
 
     def write_trajectories(self, path_vio: str, path_loop: str | None = None):

@@ -87,9 +87,10 @@ def run_proxy(
     pipe: Pipeline | None = None,
     tex_k: int = 96,
     progress=None,
+    radius: float = 4.0,
 ) -> ProxyRun:
     rng = np.random.default_rng(seed)
-    traj = Trajectory.circuit(radius=4.0, period=period, height=1.0)
+    traj = Trajectory.circuit(radius=radius, period=period, height=1.0)
     gravity = jnp.asarray([0.0, 0.0, 9.81], jnp.float64)
 
     pipe = pipe or make_pipeline()
