@@ -67,7 +67,7 @@ def bench_fused_step():
     return iters / (time.perf_counter() - t0)
 
 
-def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
+def bench_pipeline(n_frames: int = 160, frame_hz: float = 20.0):
     """Steady-state pipeline throughput: all sensor data pre-generated
     (device-resident images), timing covers tracker + estimator + loop.
     Runs the production single-stream configuration: overlapped front-end/
@@ -77,7 +77,11 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
     from vins_tpu.sim.synthetic import Trajectory
     from vins_tpu.sim.window import R_IC_FORWARD
 
+    # keyframe ingestion gates at reference-parity cadence (SKIP_CNT /
+    # SKIP_DIS, pose_graph_node.cpp:344-359): with the front-end now ~7 ms
+    # a frame, an ungated loop stage would monopolize the (single) chip
     pipe = make_pipeline(loop_closure=True, pg_skip_first_cnt=5,
+                         pg_skip_cnt=2, pg_skip_dis=0.2,
                          dtype=jnp.float32, pg_async=True, overlap=True)
     traj = Trajectory.circuit(radius=4.0, period=12.0, height=1.0)
     gravity = jnp.asarray([0.0, 0.0, 9.81], jnp.float64)
@@ -110,8 +114,10 @@ def bench_pipeline(n_frames: int = 120, frame_hz: float = 20.0):
         frames.append((t, imu, img))
     jax.block_until_ready(frames[-1][2])
 
-    # warm-up segment (compiles every program variant incl. init + loop)
-    warm = min(40, n_frames // 3)
+    # warm-up segment (compiles every program variant incl. init + loop;
+    # must extend past the first KEYFRAMES so the pose-graph worker's
+    # programs compile outside the timed window)
+    warm = min(80, n_frames // 2)
     for t, imu, img in frames[:warm]:
         for ti, a, w in imu:
             pipe.process_imu(ti, a, w)
@@ -152,6 +158,11 @@ def bench_multistream(S: int = 8, duration: float = 16.0):
     n = len(frames)
     warm = min(60, n // 3)
     drive(mp, frames, start=0, end=warm)
+    # warm-up must also cover every stream's one-off initialization
+    while warm < 2 * n // 3 and not all(
+            p.estimator.solver_flag == 1 for p in mp.pipes):
+        drive(mp, frames, start=warm, end=warm + 10)
+        warm += 10
     dt = drive(mp, frames, start=warm, end=n)
     agg = S * (n - warm) / dt
     mp.finish()

@@ -26,7 +26,10 @@ def euroc_loop_run(tmp_path_factory):
     from run_euroc import replay
 
     root = str(tmp_path_factory.mktemp("euroc_synth_loop"))
-    info = write_euroc_dataset(root, duration=16.0, period=10.0, seed=0)
+    # 20 Hz frames keep per-frame flow tractable on the fast 10 s circuit;
+    # the pipeline's FREQ controller still publishes at 10 Hz
+    info = write_euroc_dataset(root, duration=16.0, period=10.0, seed=0,
+                               frame_hz=20.0)
     cfg = VinsConfig(
         image_width=EUROC_W, image_height=EUROC_H,
         focal=460.0, max_cnt=150, min_dist=30, freq=10,

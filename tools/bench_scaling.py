@@ -127,8 +127,62 @@ def main():
                 "bytes_by_op": per_op,
                 "per_device_flops": flops}
 
-    for n in (2, 4, 8):
+    # ---- phase decomposition (VERDICT r4 weak #2): where does the n=2
+    # loss go?  Time the SCALABLE phase (per-shard assembly + Schur-term
+    # einsums + one fused psum) alone, iterated like the real solve; the
+    # remainder of the full solve is the replicated reduced solve +
+    # accept/reject cost evaluation + barrier overhead.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from vins_tpu.solver.ba import _normal_eqs
+    from vins_tpu.core.linalg import inv3x3
+
+    def make_assembly_only(mesh, iters):
+        axis = ("seq", "lm")
+
+        def run(state, obs, valid, fix_pose, fix_pos, pt_mask):
+            F = state.p.shape[0]
+            dtt = state.p.dtype
+            valid2 = valid & pt_mask[:, None]
+            pose_col_mask = jnp.ones((6 * F,), dtt)
+
+            def step(carry, _):
+                # carry-dependent state: without this the whole assembly is
+                # loop-invariant and XLA hoists it out of the scan
+                st = state._replace(p=state.p + carry * 1e-12)
+                H_xx, b_x, H_xl, H_ll, b_l = _normal_eqs(
+                    st, obs, valid2, pose_col_mask)
+                I3 = jnp.eye(3, dtype=dtt)
+                H_ll_d = H_ll + 1e-4 * I3[None]
+                inv_ll = inv3x3(H_ll_d)
+                S_H = jnp.einsum("dli,lij,elj->de", H_xl, inv_ll, H_xl)
+                S_b = jnp.einsum("dli,lij,lj->d", H_xl, inv_ll, b_l)
+                out = jax.lax.psum((H_xx, b_x, S_H, S_b), axis)
+                # consume EVERY output — a single-element read lets XLA
+                # dead-code-eliminate the rest of the assembly
+                acc = sum(jnp.sum(o) for o in out)
+                return carry + acc, None
+
+            acc, _ = jax.lax.scan(step, jnp.zeros((), dtt), None,
+                                  length=iters)
+            return acc
+
+        lm_spec = P(("seq", "lm"))
+        from vins_tpu.solver.ba import BAState as _BAS
+        return jax.jit(shard_map(
+            run, mesh=mesh,
+            in_specs=(_BAS(p=P(), q=P(), pts=lm_spec), lm_spec, lm_spec,
+                      P(), P(), lm_spec),
+            out_specs=P()))
+
+    for n in (1, 2, 4, 8):
         mesh = make_mesh(jax.devices()[:n], seq=1, lm=n)
+        asm = make_assembly_only(mesh, args.iters)
+        t_asm = timeit(asm, inputs, args.reps)
+        if n == 1:
+            results["assembly_only_1dev_s"] = t_asm
+            t_asm1 = t_asm
+            continue
         solve = make_sharded_ba(mesh, iters=args.iters)
         tn = timeit(solve, inputs, args.reps)
         speedup = t1 / tn
@@ -137,6 +191,10 @@ def main():
             "n": n, "time_s": tn, "speedup_vs_dense": speedup,
             "efficiency": speedup / min(n, n_cores),
             "oversubscribed": n > n_cores,
+            "assembly_only_s": t_asm,
+            "assembly_speedup": t_asm1 / t_asm,
+            "assembly_efficiency": (t_asm1 / t_asm) / min(n, n_cores),
+            "residual_nonscaling_s": tn - t_asm,
             **comm,
         })
         print(f"lm={n}: {tn*1e3:.1f} ms  speedup {speedup:.2f}x  "

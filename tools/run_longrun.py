@@ -47,7 +47,10 @@ def main():
     pipe = make_pipeline(loop_closure=True, dtype=jnp.float32,
                          pg_async=True, overlap=True,
                          pg_skip_first_cnt=10, pg_skip_cnt=2,
-                         pg_skip_dis=0.25, pg_opt_interval=3.0)
+                         pg_skip_dis=0.25, pg_opt_interval=3.0,
+                         # BA-refined loop edges via in-window relo factors
+                         # (the full FAST_RELOCALIZATION round trip)
+                         fast_relocalization=True)
     run = run_proxy(duration=args.duration, period=args.period,
                     radius=args.radius, seed=args.seed, pipe=pipe,
                     progress=lambda fi, n, ev: print(

@@ -130,15 +130,30 @@ def brief_describe(img: jax.Array, pts: jax.Array) -> jax.Array:
     return jax.vmap(per_point)(pts).astype(img.dtype)
 
 
+def _shift0(x: jax.Array, d: int) -> jax.Array:
+    """out[i] = x[i+d], zero-filled (matches conv 'SAME' zero padding)."""
+    H = x.shape[0]
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate([x[d:], jnp.zeros((d,) + x.shape[1:], x.dtype)])
+    return jnp.concatenate([jnp.zeros((-d,) + x.shape[1:], x.dtype), x[:d]])
+
+
 @jax.jit
 def smooth_for_brief(img: jax.Array) -> jax.Array:
-    """7×7 binomial smoothing (≈ the Gaussian DVision applies)."""
-    g = jnp.asarray([1.0, 6, 15, 20, 15, 6, 1], img.dtype)
-    g = g / jnp.sum(g)
-    k = g[:, None] * g[None, :]
-    return jax.lax.conv_general_dilated(
-        img[None, None], k[None, None], (1, 1), "SAME"
-    )[0, 0]
+    """7×7 binomial smoothing (≈ the Gaussian DVision applies).
+
+    Separable shifted-slice stencil: a single-channel 7×7 conv lowers
+    terribly on the TPU conv unit (measured 26.5 ms; the stencil form is
+    bandwidth-bound)."""
+    g = [1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0]
+    s = sum(g)
+    g = [w / s for w in g]
+    v = sum(w * _shift0(img, d) for w, d in zip(g, range(-3, 4)))
+    vt = v.T
+    h = sum(w * _shift0(vt, d) for w, d in zip(g, range(-3, 4)))
+    return h.T
 
 
 @jax.jit

@@ -107,9 +107,11 @@ class MultiPipeline:
             keys.append(sub)
         n_ids = np.asarray([tr.n_id for tr in trs], np.int32)
 
+        tracer = self.pipes[0].tracer
         step = self._front_batched(bool(publish), self._has_prev)
-        self._front_state_b, blobs = step(
-            self._front_state_b, imgs, dts, jnp.stack(keys), n_ids)
+        with tracer.span("ms_front_dispatch"):
+            self._front_state_b, blobs = step(
+                self._front_state_b, imgs, dts, jnp.stack(keys), n_ids)
         self._has_prev = True
         for tr in trs:
             tr.prev_time = t
@@ -118,12 +120,14 @@ class MultiPipeline:
 
         from ..frontend.fused import unpack_front_blob
 
-        blobs_h = np.asarray(jax.device_get(blobs))
+        with tracer.span("ms_front_fetch"):
+            blobs_h = np.asarray(jax.device_get(blobs))
         events: list = [None] * S
         batch_idx: list[int] = []
         batch_blobs: list[np.ndarray] = []
         batch_marg: list[bool] = []
         feats_all = []
+        _t0 = __import__("time").perf_counter()
         for s in range(S):
             tr = trs[s]
             un, vel, pts, pub_mask, valid, cnt, ids, n_new = \
@@ -151,6 +155,8 @@ class MultiPipeline:
                     # joined the batch from the next frame; sync its prior
                     self._set_prior(s, est.prior)
 
+        tracer.stats.add("ms_host_pre",
+                         (__import__("time").perf_counter() - _t0) * 1e3)
         if batch_idx:
             # streams not in the batch still occupy their slot (the vmapped
             # program has a fixed batch size S) — fill with zeros; their
@@ -159,9 +165,11 @@ class MultiPipeline:
                             batch_blobs[0].dtype)
             for k, s in enumerate(batch_idx):
                 full[s] = batch_blobs[k]
-            res_b = self._est_step(full, self._prior_b)
+            with tracer.span("ms_est_dispatch"):
+                res_b = self._est_step(full, self._prior_b)
             prior_b = res_b.prior
-            res_h = jax.device_get(res_b._replace(prior=None))
+            with tracer.span("ms_est_fetch"):
+                res_h = jax.device_get(res_b._replace(prior=None))
             # keep the prior ONLY for batched slots (a zero-blob run's
             # prior is garbage)
             sel = np.zeros(S, bool)
@@ -183,6 +191,7 @@ class MultiPipeline:
                 events[s] = ev
 
         # downstream per stream: trajectories, pose-graph handoff
+        _t1 = __import__("time").perf_counter()
         for s in range(S):
             pipe = self.pipes[s]
             est = pipe.estimator
@@ -211,6 +220,8 @@ class MultiPipeline:
                             else:
                                 res = pipe._pg_process(payload)
                                 pipe.pg_events.append(res)
+        tracer.stats.add("ms_downstream",
+                         (__import__("time").perf_counter() - _t1) * 1e3)
         return events
 
     def _set_prior(self, s: int, prior: Prior):

@@ -142,9 +142,7 @@ def make_sharded_ba(mesh: Mesh, iters: int = 10):
 
         def step(carry, _):
             st, mu, cost = carry
-            H_xx, b_x, H_xl, H_ll, b_l = _ba._normal_eqs(st, obs, valid2, pose_col_mask)
-            H_xx = jax.lax.psum(H_xx, axis)
-            b_x = jax.lax.psum(b_x, axis)
+            H_xx_c, b_x_c, H_xl, H_ll, b_l = _ba._normal_eqs(st, obs, valid2, pose_col_mask)
 
             I3 = jnp.eye(3, dtype=dtt)
             d_ll = jnp.maximum(jnp.diagonal(H_ll, axis1=1, axis2=2), 1e-6)
@@ -153,12 +151,16 @@ def make_sharded_ba(mesh: Mesh, iters: int = 10):
             inv_ll = inv3x3(H_ll_d)
             inv_ll = jnp.where(pt_mask[:, None, None], inv_ll, jnp.zeros_like(inv_ll))
 
-            H_red = H_xx - jax.lax.psum(
-                jnp.einsum("dli,lij,elj->de", H_xl, inv_ll, H_xl), axis
-            )
-            b_red = b_x - jax.lax.psum(
-                jnp.einsum("dli,lij,lj->d", H_xl, inv_ll, b_l), axis
-            )
+            # ONE fused cross-shard reduction per iteration: psum is linear,
+            # so the four per-shard contributions ride one collective (each
+            # psum is a barrier — on the CPU mesh the barrier count, not the
+            # payload, dominated the n=2 efficiency loss)
+            S_H = jnp.einsum("dli,lij,elj->de", H_xl, inv_ll, H_xl)
+            S_b = jnp.einsum("dli,lij,lj->d", H_xl, inv_ll, b_l)
+            H_xx, b_x, S_H, S_b = jax.lax.psum(
+                (H_xx_c, b_x_c, S_H, S_b), axis)
+            H_red = H_xx - S_H
+            b_red = b_x - S_b
             H_red = H_red + mu * jnp.diag(jnp.diagonal(H_red))
             H_red = H_red + jnp.diag(1.0 - pose_col_mask) + 1e-9 * jnp.eye(6 * F, dtype=dtt)
             d = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))

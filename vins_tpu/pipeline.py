@@ -31,10 +31,7 @@ from .core import nplie
 from .estimator.estimator import NON_LINEAR, Estimator
 from .estimator.propagator import ImuPropagator
 from .frontend.tracker import FeatureTracker
-from .loop.brief import match_descriptors
-from .loop.pose_graph import (KeyFrame, PoseGraph, describe_window_points,
-                              extract_keyframe_features)
-from .loop.verify import triangulate_two_view
+from .loop.pose_graph import KeyFrame, PoseGraph
 from .utils.trace import Tracer
 
 
@@ -83,6 +80,31 @@ class Pipeline:
             self._pg_thread = threading.Thread(
                 target=self._pg_worker, name="pose_graph", daemon=True)
             self._pg_thread.start()
+
+        if self.pose_graph is not None:
+            cam = self.camera
+
+            @jax.jit
+            def pg_feat_prog(img, uv, prev_pts, prev_desc, prev_valid,
+                             prev_p, prev_R, p_cam, R_wc):
+                from .loop.brief import (brief_describe, fast_detect,
+                                         match_descriptors, smooth_for_brief)
+                from .loop.verify import triangulate_two_view
+
+                sm = smooth_for_brief(img)
+                wdesc = brief_describe(sm, uv)
+                fpix, fok = fast_detect(img, max_pts=256, threshold=20.0)
+                fdesc = brief_describe(sm, fpix)
+                rays = cam.lift(fpix)
+                fpts = rays[..., :2] / rays[..., 2:3]
+                pmidx, pmok = match_descriptors(fdesc, fok, prev_desc,
+                                                prev_valid)
+                x_prev = jnp.take(prev_pts, pmidx, axis=0)
+                X3, okt = triangulate_two_view(
+                    p_cam, R_wc, fpts, prev_p, prev_R, x_prev, pmok)
+                return wdesc, fpts, fdesc, fok, X3, okt
+
+            self._pg_feat_prog = pg_feat_prog
 
         # Overlapped (software-pipelined) mode: the estimator consumes the
         # PREVIOUS published frame's features while the current frame's
@@ -389,28 +411,28 @@ class Pipeline:
         pts3d = payload["pts3d"]
 
         with self.tracer.span("pg_features"):
-            wdesc = describe_window_points(img_kf, uv)
-            fpts, fdesc, fok = extract_keyframe_features(img_kf, self.camera)
-
-            # two-view depth for the FAST corners against the PREVIOUS
-            # keyframe (known camera poses): loop verification then matches
-            # corner sets directly — tracked window points drift off corner
-            # peaks and match poorly (see loop/verify.py)
+            # the whole keyframe feature stage is ONE device program + one
+            # small fetch — the previous per-call dispatch/fetch chain paid
+            # ~4 tunnel round trips per keyframe and dominated the worker
             Ric = nplie.q2R(self.estimator.qic)
             R_b = nplie.q2R(q_b)
             p_cam = p_b + R_b @ payload["tic"]
             R_wc = R_b @ Ric
-            fast_3d = fast_3d_valid = None
             prev = self._prev_kf_fast
-            if prev is not None:
-                pmidx, pmok = match_descriptors(fdesc, fok,
-                                                prev["desc"], prev["valid"])
-                x_prev = jnp.take(prev["pts"], pmidx, axis=0)
-                X3, okt = jax.device_get(triangulate_two_view(
-                    np.asarray(p_cam, np.float32), np.asarray(R_wc, np.float32),
-                    fpts, prev["p"], prev["R"], x_prev, pmok,
-                ))
-                fast_3d, fast_3d_valid = X3, okt
+            if prev is None:
+                zpts = jnp.zeros((256, 2), jnp.float32)
+                prev = {"pts": zpts, "desc": jnp.zeros((256, 256), jnp.float32),
+                        "valid": jnp.zeros((256,), bool),
+                        "p": np.zeros(3, np.float32),
+                        "R": np.eye(3, dtype=np.float32)}
+            wdesc, fpts, fdesc, fok, X3d, ok3d = self._pg_feat_prog(
+                jnp.asarray(img_kf, jnp.float32), jnp.asarray(uv, jnp.float32),
+                prev["pts"], prev["desc"], prev["valid"],
+                np.asarray(prev["p"], np.float32),
+                np.asarray(prev["R"], np.float32),
+                np.asarray(p_cam, np.float32), np.asarray(R_wc, np.float32),
+            )
+            fast_3d, fast_3d_valid = jax.device_get((X3d, ok3d))
             self._prev_kf_fast = {
                 "pts": fpts, "desc": fdesc, "valid": fok,
                 "p": np.asarray(p_cam, np.float32),

@@ -208,13 +208,17 @@ def build_normal_equations(
         H_ll = H_ll + jnp.einsum("lr,lr->l", J_r_lam, J_r_lam)
         b_l = b_l - jnp.einsum("lr,lr->l", J_r_lam, r_r)
 
+    # one fused collective for the shard-reduced assembly (psum is linear;
+    # each separate psum is a barrier)
+    H_shard, b_shard = _psum((H_shard, b_shard), axis_name) \
+        if axis_name is not None else (H_shard, b_shard)
     H = (
-        _psum(H_shard, axis_name)
+        H_shard
         + jnp.einsum("kmd,kme->de", J_imu, J_imu)
         + J_prior.T @ J_prior
     )
     b = -(
-        _psum(b_shard, axis_name)
+        b_shard
         + jnp.einsum("kmd,km->d", J_imu, imu.r)
         + J_prior.T @ r_prior
     )
@@ -231,8 +235,12 @@ def _damped_solve(H, b, H_xl, H_ll, b_l, mu, dtype, axis_name=None):
     H_ll_d = H_ll * (1.0 + mu)
     inv_ll = jnp.where(H_ll > 1e-12, 1.0 / (H_ll_d + 1e-12), 0.0)
 
-    H_red = H_d - _psum((H_xl * inv_ll[None, :]) @ H_xl.T, axis_name)
-    b_red = b - _psum(H_xl @ (inv_ll * b_l), axis_name)
+    S_H = (H_xl * inv_ll[None, :]) @ H_xl.T
+    S_b = H_xl @ (inv_ll * b_l)
+    if axis_name is not None:
+        S_H, S_b = jax.lax.psum((S_H, S_b), axis_name)
+    H_red = H_d - S_H
+    b_red = b - S_b
 
     d = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
     Hn = H_red / d[:, None] / d[None, :]
