@@ -120,7 +120,12 @@ class Pipeline:
         # serialized (front-execute + fetch, then estimator fetch).
         self.overlap = bool(cfg.overlap) if overlap is None else bool(overlap)
         self._pending = None   # (t, device blob) of the unconsumed front frame
-        self._imu_backlog = []  # (dt, acc, gyr) since the pending frame
+        self._imu_backlog = []  # (t, dt, acc, gyr) since the pending frame
+        # deferred estimator result: the solve of frame t-1 is DISPATCHED
+        # when frame t arrives but its result is fetched only when frame
+        # t+1 arrives — by then the async host copy has landed, so the
+        # host blocks ~one tunnel RTT per published frame instead of two
+        self._est_pending = None  # {res_dev, marg_old, t}
 
         self.freq = cfg.freq
         self._pub_count = 0
@@ -181,7 +186,7 @@ class Pipeline:
         # keyframe handoff describes frame F-3 (post-slide W-2), whose image
         # arrived two published frames ago — keep a small ring keyed by time
         self._img_ring.append((t, img))
-        if len(self._img_ring) > 6:
+        if len(self._img_ring) > 8:
             self._img_ring.pop(0)
         out.update(self._estimator_and_downstream(feats, t))
         return out
@@ -199,62 +204,109 @@ class Pipeline:
         if publish:
             self._pub_count += 1
             self._img_ring.append((t, img))
-            if len(self._img_ring) > 6:
+            if len(self._img_ring) > 8:
                 self._img_ring.pop(0)
             self._pending = (t, blob)
         return out
 
     def _consume_pending(self) -> dict:
+        # phase 1: complete the DEFERRED estimator result of two frames ago
+        # (its async host copy was started when it was dispatched; post_step
+        # + sliding must land before this frame's pre_step)
+        out = self._complete_est()
+
         if self._pending is None:
             # keep the estimator's open IMU interval aligned with published
             # frames: no pending frame means the backlog belongs to the NEXT
             # published frame's interval — hold it
-            return {}
+            return out
         t_prev, blob = self._pending
         self._pending = None
         # samples at or before the pending frame's timestamp close ITS
-        # interval (they predate the frame — e.g. the pre-first-frame
-        # samples); later samples open the next interval after processing
+        # interval; later samples stay in the backlog until the deferred
+        # solve's post_step has slid the window (next _complete_est)
         before = [s for s in self._imu_backlog if s[0] <= t_prev + 1e-12]
-        after = [s for s in self._imu_backlog if s[0] > t_prev + 1e-12]
-        self._imu_backlog.clear()
+        self._imu_backlog = [s for s in self._imu_backlog
+                             if s[0] > t_prev + 1e-12]
         for _, dt, acc, gyr in before:
             self.estimator.process_imu(dt, acc, gyr)
         with self.tracer.span("front_fetch"):
             feats = self.tracker.adopt_blob(blob)
-        out = {}
-        if feats is not None:
-            out = self._estimator_and_downstream(feats, t_prev)
-        for _, dt, acc, gyr in after:
-            self.estimator.process_imu(dt, acc, gyr)
+        if feats is None:
+            return out
+
+        est = self.estimator
+        if est.solver_flag == NON_LINEAR:
+            # phase 2: dispatch this frame's solve, defer its fetch
+            toffs = self._toffs(feats)
+            with self.tracer.span("estimator"):
+                blob_e, marg_old = est.pre_step(
+                    feats.ids, feats.pts, feats.vel, feats.uv, t_prev,
+                    toffs=toffs)
+                res_dev = est._packed_step(blob_e, est.prior)
+                # the marginalization prior chains ON DEVICE — no fetch
+                est.prior = res_dev.prior
+                res_body = res_dev._replace(prior=None)
+                try:
+                    jax.tree.map(lambda x: x.copy_to_host_async(), res_body)
+                except (AttributeError, NotImplementedError):
+                    pass
+                self._est_pending = {"res": res_body, "marg_old": marg_old,
+                                     "t": t_prev}
+        else:
+            # INITIAL / rebooting: synchronous per-frame path
+            ev = self._estimator_and_downstream(feats, t_prev)
+            out = {**out, **ev}
         return out
 
+    def _complete_est(self) -> dict:
+        if self._est_pending is None:
+            return {}
+        p = self._est_pending
+        self._est_pending = None
+        est = self.estimator
+        with self.tracer.span("est_fetch"):
+            res = jax.device_get(p["res"])
+        ev = est.post_step(res, None, p["marg_old"], failure_check=True)
+        ev["kind"] = "vio" if ev.get("ok", True) else "reboot"
+        self._downstream(ev, p["t"])
+        return ev
+
     def flush_frames(self):
-        """Drain the overlap-mode pending frame (end of stream — call
-        before scoring trajectories)."""
+        """Drain the overlap-mode pending frame + deferred solve (end of
+        stream — call before scoring trajectories)."""
         if self.overlap:
             self._consume_pending()
+            self._complete_est()
 
     def _estimator_and_downstream(self, feats, t: float) -> dict:
         # rolling-shutter per-observation time offset: a feature on pixel row
         # r was captured TR·(r/ROW − ½) after the nominal (middle-row) frame
         # time (projection_td_factor.cpp:18,50-52: TR/ROW·(row − ROW/2)); the
         # solver's correction is pt − (td − toff)·vel, so toff = −offset.
-        toffs = 0.0
-        if self.cfg.rolling_shutter and self.cfg.rolling_shutter_tr > 0:
-            toffs = -self.cfg.rolling_shutter_tr * (
-                np.asarray(feats.uv)[:, 1] / self.cfg.image_height - 0.5
-            )
-
         with self.tracer.span("estimator"):
             ev = self.estimator.process_image(
-                feats.ids, feats.pts, feats.vel, feats.uv, t, toffs=toffs,
+                feats.ids, feats.pts, feats.vel, feats.uv, t,
+                toffs=self._toffs(feats),
             )
         out = dict(ev)
+        self._downstream(out, t)
+        return out
 
+    def _toffs(self, feats):
+        if self.cfg.rolling_shutter and self.cfg.rolling_shutter_tr > 0:
+            return -self.cfg.rolling_shutter_tr * (
+                np.asarray(feats.uv)[:, 1] / self.cfg.image_height - 0.5
+            )
+        return 0.0
+
+    def _downstream(self, out: dict, t: float):
+        """Post-solve host work of one published frame: trajectories,
+        IMU-rate predictor rebase, fast-reloc feedback, keyframe handoff.
+        Mutates `out` (sync-mode loop diagnostics ride along)."""
         est = self.estimator
         if self.pose_graph is not None:
-            self._maybe_relo_feedback(ev)
+            self._maybe_relo_feedback(out)
         if est.solver_flag == NON_LINEAR:
             W = est.W
             p, q = est.p[W].copy(), est.q[W].copy()
@@ -267,7 +319,7 @@ class Pipeline:
             # reference's relo_buf, estimator_node.cpp:266-291)
             while self._relo_queue:
                 self._apply_relo(self._relo_queue.pop(0))
-            if ev.get("marg_old") and self.pose_graph is not None:
+            if out.get("marg_old") and self.pose_graph is not None:
                 payload = self._build_keyframe_payload()
                 if payload is not None:
                     if self.pg_async:
@@ -287,7 +339,6 @@ class Pipeline:
                                 out[key] = res[key]
                         if res.get("loop") is not None:
                             out["loop"] = res["loop"]
-        return out
 
     def pg_join(self):
         """Drain the pose-graph worker queue and force the pending 4-DoF
@@ -578,6 +629,7 @@ class Pipeline:
         self._img_ring.clear()
         self._prev_kf_fast = None
         self._pending = None
+        self._est_pending = None
         self._imu_backlog.clear()
         self.sequence += 1
 
