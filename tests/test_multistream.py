@@ -16,7 +16,7 @@ def test_multistream_two_streams_track():
     from vins_tpu.sim.proxy import ate_rmse_tum
 
     S = 2
-    mp, frames, gt = generate_streams(S, duration=3.0, frame_hz=10.0,
+    mp, frames, gt = generate_streams(S, duration=4.5, frame_hz=10.0,
                                       loop_closure=False, pg_async=False,
                                       pix_noise=0.0)
     drive(mp, frames, frame_hz=10.0, publish_hz=10.0)

@@ -57,6 +57,14 @@ class MultiPipeline:
         self._front_cache: dict = {}
         self._front_state_b = None
         self._has_prev = False
+        # deferred batched estimator result (same pattern as the single-
+        # stream overlap pipeline: fetch one publish tick late, so the
+        # async host copy lands during the intervening work)
+        self._est_pending = None  # {res, batch_idx, batch_marg, t, events}
+        # IMU samples that arrive while a deferred solve is outstanding:
+        # they belong to the NEXT interval and must not enter the window
+        # buffers until the deferred post_step has slid them
+        self._imu_backlog = [[] for _ in range(S)]
 
     def _front_batched(self, publish: bool, has_prev: bool):
         key = (publish, has_prev)
@@ -80,7 +88,12 @@ class MultiPipeline:
         est = pipe.estimator
         dt = t - pipe.propagator.t if pipe.propagator.t is not None else 0.0
         pipe.propagator.t = t
-        est.process_imu(dt, acc, gyr)
+        if self._est_pending is not None:
+            # a deferred solve is outstanding: hold until its post_step
+            # has slid the interval buffers (_complete_est)
+            self._imu_backlog[s].append((dt, acc, gyr))
+        else:
+            est.process_imu(dt, acc, gyr)
 
     # ---------------------------------------------------------------- frame
 
@@ -120,6 +133,9 @@ class MultiPipeline:
 
         from ..frontend.fused import unpack_front_blob
 
+        # complete LAST tick's deferred estimator result first — its
+        # post_step/slide must land before this tick's pre_steps
+        events_prev = self._complete_est()
         with tracer.span("ms_front_fetch"):
             blobs_h = np.asarray(jax.device_get(blobs))
         events: list = [None] * S
@@ -168,10 +184,8 @@ class MultiPipeline:
             with tracer.span("ms_est_dispatch"):
                 res_b = self._est_step(full, self._prior_b)
             prior_b = res_b.prior
-            with tracer.span("ms_est_fetch"):
-                res_h = jax.device_get(res_b._replace(prior=None))
             # keep the prior ONLY for batched slots (a zero-blob run's
-            # prior is garbage)
+            # prior is garbage); stays on device — no fetch
             sel = np.zeros(S, bool)
             sel[batch_idx] = True
             sel_d = jnp.asarray(sel)
@@ -179,16 +193,45 @@ class MultiPipeline:
                 lambda old, new: jnp.where(
                     sel_d.reshape((S,) + (1,) * (old.ndim - 1)), new, old),
                 self._prior_b, prior_b)
-            for k, s in enumerate(batch_idx):
-                res_s = jax.tree.map(lambda x: x[s], res_h)
-                est = self.pipes[s].estimator
-                ev = est.post_step(res_s, None, batch_marg[k],
-                                   failure_check=True)
-                ev["kind"] = "vio" if ev.get("ok", True) else "reboot"
-                if not ev.get("ok", True):
-                    # rebooted: reset this stream's prior slot
-                    self._set_prior(s, est.prior)
-                events[s] = ev
+            res_body = res_b._replace(prior=None)
+            try:
+                jax.tree.map(lambda x: x.copy_to_host_async(), res_body)
+            except (AttributeError, NotImplementedError):
+                pass
+            self._est_pending = {"res": res_body, "batch_idx": batch_idx,
+                                 "batch_marg": batch_marg, "t": t,
+                                 "events": events}
+
+        return events_prev
+
+    def _complete_est(self):
+        """Fetch + apply the deferred batched estimator result; run the
+        per-stream downstream (trajectories, pose-graph handoff)."""
+        if self._est_pending is None:
+            return []
+        p = self._est_pending
+        self._est_pending = None
+        S = self.S
+        tracer = self.pipes[0].tracer
+        with tracer.span("ms_est_fetch"):
+            res_h = jax.device_get(p["res"])
+        events = p["events"]
+        t = p["t"]
+        for k, s in enumerate(p["batch_idx"]):
+            res_s = jax.tree.map(lambda x: x[s], res_h)
+            est = self.pipes[s].estimator
+            ev = est.post_step(res_s, None, p["batch_marg"][k],
+                               failure_check=True)
+            ev["kind"] = "vio" if ev.get("ok", True) else "reboot"
+            if not ev.get("ok", True):
+                # rebooted: reset this stream's prior slot
+                self._set_prior(s, est.prior)
+            events[s] = ev
+        # release the held IMU samples into the freshly-slid buffers
+        for s in range(S):
+            for dt, acc, gyr in self._imu_backlog[s]:
+                self.pipes[s].estimator.process_imu(dt, acc, gyr)
+            self._imu_backlog[s].clear()
 
         # downstream per stream: trajectories, pose-graph handoff
         _t1 = __import__("time").perf_counter()
@@ -236,6 +279,7 @@ class MultiPipeline:
             pipe._img_ring.pop(0)
 
     def finish(self):
+        self._complete_est()
         for p in self.pipes:
             p.pg_join()
             p.shutdown()
