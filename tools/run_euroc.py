@@ -151,7 +151,7 @@ def main():
     # for deterministic tests via the Pipeline constructor
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, pg_async=True)
+    cfg = dataclasses.replace(cfg, pg_async=True, overlap=True)
     cam = camera_from_yaml(cfg.camera, dtype=jnp.float32)
     pipe = replay(args.root, cfg, cam, loop=not args.no_loop,
                   max_frames=args.max_frames)
